@@ -1,14 +1,25 @@
-"""deadtrees-tpu: a TPU-native orthophoto dead-tree segmentation framework.
+"""deadtrees-tpu: TPU-native orthophoto dead-tree segmentation framework.
 
-A ground-up JAX/Flax/XLA/Pallas rebuild of the capabilities of the reference
-``cwerner/deadtrees`` stack (see SURVEY.md): WebDataset-style shard input
-pipeline with on-device fused augmentation, a Flax U-Net model family
-(unet / unet++ / resunet / resunet++ / efficientunet++) with ResNet and
-EfficientNet encoders, the boundary-loss compound loss suite, data-parallel
-training over a ``jax.sharding.Mesh``, sliding-window scene inference with
-on-device stitching, and a serving demo.
+A ground-up JAX/Flax/XLA/Pallas rebuild of the capabilities of
+cwerner/deadtrees (reference mounted at /root/reference): geo-preprocessing
+→ tar-shard datasets → U-Net-family training with compound losses → scene
+inference with on-device tiling/stitching → serving.
 
-Subpackages are imported lazily; ``import deadtrees_tpu`` is cheap.
+Subpackages:
+    models   — Flax U-Net family (unet, unet++, resunet, resunet++,
+               efficientunet++) × encoder zoo (resnet18/34,
+               efficientnet-b0..b7), NHWC, bf16 compute / f32 params
+    losses   — GDL/GWDL/dice/focal/boundary losses, metrics, on-device EDT
+    data     — shard splitting, tar streaming, device prefetch, on-device
+               augmentation, distance maps
+    train    — jitted data-parallel train/eval steps, Adam+cosine,
+               multistage schedule, training runtime
+    parallel — device mesh + shardings (data parallelism over ICI)
+    infer    — Tiler, jit sliding-window scene prediction, engines
+               (single/ensemble/AOT-exported), GeoTIFF IO
+    serve    — REST segmentation server + UI
+    geo      — dependency-free shapefile reading + polygon rasterization
+    config   — Hydra-style YAML config composition
 """
 
 from deadtrees_tpu.version import __version__

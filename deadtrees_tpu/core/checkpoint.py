@@ -1,0 +1,132 @@
+"""Checkpoint save/load: params + batch stats + hyperparameters (+ opt state).
+
+The reference persists Lightning ``.ckpt`` files carrying hparams via
+``save_hyperparameters()`` so models rebuild from the file alone
+(/root/reference/deadtrees/network/segmodel.py:92,
+deployment/inference.py:30-42), with a best-metric retention policy
+(configs/callbacks/default.yaml:1-10: top-1 on val/dice + last). Here:
+
+- a checkpoint is ONE msgpack file (flax.serialization) holding
+  {hparams, params, batch_stats, [opt_state, step, epoch]} — portable,
+  dependency-light, and directly loadable for serving;
+- :func:`load_model` rebuilds the Flax model from embedded hparams — the
+  ``load_from_checkpoint`` equivalent;
+- :class:`BestCheckpointKeeper` implements monitor/top-k/last retention.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import numpy as np
+from flax import serialization
+
+log = logging.getLogger(__name__)
+
+_MAGIC = b"DTPU1\n"
+
+
+def _to_state_dict(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(
+    path: Union[str, Path],
+    *,
+    params: Any,
+    batch_stats: Any,
+    hparams: Dict[str, Any],
+    opt_state: Any = None,
+    step: int = 0,
+    epoch: int = 0,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    payload = {
+        "hparams": json.dumps(hparams).encode(),
+        "step": np.int64(step),
+        "epoch": np.int64(epoch),
+        "params": _to_state_dict(params),
+        "batch_stats": _to_state_dict(batch_stats),
+    }
+    if opt_state is not None:
+        payload["opt_state"] = serialization.to_bytes(opt_state)
+    if extra:
+        payload["extra"] = json.dumps(extra).encode()
+    blob = serialization.msgpack_serialize(payload)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(blob)
+    tmp.replace(path)  # atomic
+
+
+def load_checkpoint(path: Union[str, Path]) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"Not a deadtrees-tpu checkpoint: {path}")
+        payload = serialization.msgpack_restore(f.read())
+    payload["hparams"] = json.loads(payload["hparams"])
+    if "extra" in payload:
+        payload["extra"] = json.loads(payload["extra"])
+    return payload
+
+
+def load_model(path: Union[str, Path]) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
+    """Rebuild (model, variables, hparams) from a checkpoint file — the
+    ``SemSegment.load_from_checkpoint`` analogue (inference.py:39)."""
+    from deadtrees_tpu.models import create_model
+
+    ckpt = load_checkpoint(path)
+    hp = ckpt["hparams"]
+    model = create_model(**hp)
+    variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    return model, variables, hp
+
+
+class BestCheckpointKeeper:
+    """Monitor-metric retention: top-1 best + always-last
+    (ModelCheckpoint(monitor='val/dice', mode='max', save_top_k=1,
+    save_last=True), configs/callbacks/default.yaml:1-10)."""
+
+    def __init__(
+        self,
+        directory: Union[str, Path],
+        *,
+        monitor: str = "val/dice",
+        mode: str = "max",
+        filename: str = "epoch_{epoch:03d}.ckpt",
+    ):
+        assert mode in ("max", "min")
+        self.directory = Path(directory)
+        self.monitor = monitor
+        self.mode = mode
+        self.filename = filename
+        self.best_value: Optional[float] = None
+        self.best_path: Optional[Path] = None
+
+    def is_improvement(self, value: float) -> bool:
+        if self.best_value is None:
+            return True
+        return value > self.best_value if self.mode == "max" else value < self.best_value
+
+    def update(self, value: float, epoch: int, save_fn) -> Optional[Path]:
+        """``save_fn(path)`` writes the checkpoint; returns new best path."""
+        last = self.directory / "last.ckpt"
+        save_fn(last)
+        if self.is_improvement(value):
+            new_best = self.directory / self.filename.format(epoch=epoch)
+            save_fn(new_best)
+            if self.best_path is not None and self.best_path.exists():
+                self.best_path.unlink()
+            self.best_path = new_best
+            self.best_value = value
+            log.info(f"New best {self.monitor}={value:.4f} at {new_best}")
+            return new_best
+        return None

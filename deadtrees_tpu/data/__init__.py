@@ -1,0 +1,31 @@
+from deadtrees_tpu.data.augment import augment_batch, normalize, sample_augment_params
+from deadtrees_tpu.data.config import (
+    DATASET_CONFIG,
+    DATASET_CONFIG_IMAGENET,
+    DatasetConfig,
+)
+from deadtrees_tpu.data.pipeline import DataConfig, DeadtreesDataModule
+from deadtrees_tpu.data.shards import discover_shards, split_shards
+from deadtrees_tpu.data.tar import (
+    ShardSampleStream,
+    count_shard_samples,
+    decode_sample,
+    iter_tar_samples,
+)
+
+__all__ = [
+    "DATASET_CONFIG",
+    "DATASET_CONFIG_IMAGENET",
+    "DataConfig",
+    "DatasetConfig",
+    "DeadtreesDataModule",
+    "ShardSampleStream",
+    "augment_batch",
+    "count_shard_samples",
+    "decode_sample",
+    "discover_shards",
+    "iter_tar_samples",
+    "normalize",
+    "sample_augment_params",
+    "split_shards",
+]

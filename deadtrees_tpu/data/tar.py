@@ -1,0 +1,159 @@
+"""Tar-shard sample streaming (the WebDataset-format reader).
+
+The reference stores samples as groups of files inside plain tar shards
+(``{key}.rgbn.tif``, ``{key}.mask.tif``, ``{key}.lu.tif``, ``{key}.txt``)
+written by ``wds.ShardWriter`` (/root/reference/scripts/createdataset.py:161-194)
+and read back with ``wds.WebDataset`` (deadtreedata.py:263-288). This module
+is a dependency-free reader of that exact on-disk format:
+
+- :func:`iter_tar_samples` streams key-grouped dicts of raw bytes from one
+  shard (webdataset convention: sample key = path up to the FIRST dot,
+  suffix = the rest);
+- :func:`decode_sample` replicates ``sample_decoder`` (deadtreedata.py:107-125):
+  RGBA-converted 4-band image, L-converted masks, txt → {file, frac};
+- :class:`ShardSampleStream` iterates many shards with buffered shuffling
+  (``.shuffle(n)`` semantics) and epoch reshuffling of shard order.
+
+IO and PIL decode are host-side by design — the accelerator never touches
+bytes; decoded uint8 arrays go straight into the device prefetch queue
+(see pipeline.py).
+"""
+
+from __future__ import annotations
+
+import io
+import random
+import tarfile
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def iter_tar_samples(path: str) -> Iterator[Dict[str, bytes]]:
+    """Stream samples (dicts of raw bytes keyed by suffix) from a tar shard.
+
+    Adds ``__key__`` like webdataset. Files are grouped by prefix; group
+    boundaries follow tar order (consecutive members with equal prefix),
+    which is how ShardWriter lays them out.
+    """
+    current_key: Optional[str] = None
+    sample: Dict[str, bytes] = {}
+    with tarfile.open(path, "r") as tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            name = member.name
+            if name.startswith("./"):
+                name = name[2:]
+            if "." not in name:
+                continue
+            key, suffix = name.split(".", 1)
+            if key != current_key:
+                if current_key is not None and sample:
+                    sample["__key__"] = current_key.encode()
+                    yield sample
+                current_key = key
+                sample = {}
+            f = tf.extractfile(member)
+            if f is not None:
+                sample[suffix] = f.read()
+        if current_key is not None and sample:
+            sample["__key__"] = current_key.encode()
+            yield sample
+
+
+def image_decoder(data: bytes) -> np.ndarray:
+    """4-band image decode (reference image_decoder, deadtreedata.py:91-96)."""
+    from PIL import Image
+
+    with io.BytesIO(data) as stream:
+        img = Image.open(stream)
+        img.load()
+        img = img.convert("RGBA")
+    return np.asarray(img)
+
+
+def mask_decoder(data: bytes) -> np.ndarray:
+    """Single-band mask decode (reference mask_decoder, deadtreedata.py:99-104)."""
+    from PIL import Image
+
+    with io.BytesIO(data) as stream:
+        img = Image.open(stream)
+        img.load()
+        img = img.convert("L")
+    return np.asarray(img)
+
+
+def decode_sample(
+    sample: Dict[str, bytes],
+    img_suffix: str = "rgbn.tif",
+    msk_suffix: str = "mask.tif",
+    lu_suffix: str = "lu.tif",
+) -> Dict:
+    """Decode one raw sample (reference sample_decoder, deadtreedata.py:107-125).
+
+    Returns dict with 'image' (H, W, 4) uint8, optional 'mask'/'lu' (H, W)
+    uint8, and 'stats' {file, frac}.
+    """
+    assert img_suffix in sample, "Wrong image suffix provided"
+    out: Dict = {"image": image_decoder(sample[img_suffix])}
+    if "txt" in sample:
+        out["stats"] = {
+            "file": sample["__key__"].decode(),
+            "frac": float(sample["txt"]),
+        }
+    if msk_suffix in sample:
+        out["mask"] = mask_decoder(sample[msk_suffix])
+    if lu_suffix in sample:
+        out["lu"] = mask_decoder(sample[lu_suffix])
+    return out
+
+
+class ShardSampleStream:
+    """Iterate decoded samples over a list of shards, optionally forever.
+
+    ``shuffle`` is the webdataset-style buffered shuffle size (0 = off);
+    shard order reshuffles each epoch when shuffling is on.
+    """
+
+    def __init__(
+        self,
+        shards: Sequence[str],
+        *,
+        shuffle: int = 0,
+        seed: int = 0,
+        loop: bool = False,
+    ):
+        self.shards = [str(s) for s in shards]
+        self.shuffle = shuffle
+        self.loop = loop
+        self._rng = random.Random(seed)
+
+    def __iter__(self) -> Iterator[Dict]:
+        while True:
+            shards = list(self.shards)
+            if self.shuffle:
+                self._rng.shuffle(shards)
+            buf: List[Dict] = []
+            for shard in shards:
+                for raw in iter_tar_samples(shard):
+                    sample = decode_sample(raw)
+                    if self.shuffle <= 1:
+                        yield sample
+                        continue
+                    buf.append(sample)
+                    if len(buf) >= self.shuffle:
+                        idx = self._rng.randrange(len(buf))
+                        buf[idx], buf[-1] = buf[-1], buf[idx]
+                        yield buf.pop()
+            self._rng.shuffle(buf)
+            yield from buf
+            if not self.loop:
+                return
+
+
+def count_shard_samples(path: str) -> int:
+    """Sample count of one shard — the reference probes this by iterating the
+    first shard at setup (deadtreedata.py:258); here it only parses tar
+    headers, no decode."""
+    return sum(1 for _ in iter_tar_samples(path))

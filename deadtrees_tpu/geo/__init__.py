@@ -1,0 +1,17 @@
+from deadtrees_tpu.geo.raster import bbox_intersects, rasterize, world_to_pixel
+from deadtrees_tpu.geo.shapefile import (
+    read_dbf,
+    read_shapefile,
+    read_shp,
+    ring_signed_area,
+)
+
+__all__ = [
+    "bbox_intersects",
+    "rasterize",
+    "read_dbf",
+    "read_shapefile",
+    "read_shp",
+    "ring_signed_area",
+    "world_to_pixel",
+]

@@ -1,0 +1,127 @@
+"""Minimal ESRI shapefile reader (polygons + DBF attributes), pure Python.
+
+The reference reads ground-truth polygons with geopandas/GDAL
+(/root/reference/scripts/createmasks.py:167). This environment has neither,
+so the subset of the format the pipeline needs is parsed directly:
+
+- ``.shp``: Polygon (5), PolygonZ (15), PolygonM (25) records — rings as
+  coordinate lists; multi-part records are kept together (ring winding
+  distinguishes outer rings from holes: ESRI outer rings are CLOCKWISE).
+- ``.dbf``: dBASE III field table + fixed-width records for attributes
+  (the pipeline uses the dead-tree ``type`` class column).
+
+Only reading is supported; writing ground truth is out of scope.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, Union
+
+Ring = List[Tuple[float, float]]
+
+POLYGON_TYPES = {5, 15, 25}
+
+
+def ring_signed_area(ring: Ring) -> float:
+    """Shoelace area: negative = clockwise (ESRI outer ring)."""
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def read_shp(path: Union[str, Path]) -> List[Dict]:
+    """Read polygon records: [{'rings': [...], 'bbox': (x1,y1,x2,y2)}]."""
+    data = Path(path).read_bytes()
+    if len(data) < 100:
+        raise ValueError(f"Not a shapefile: {path}")
+    file_len = struct.unpack(">i", data[24:28])[0] * 2
+    shape_type = struct.unpack("<i", data[32:36])[0]
+    if shape_type not in POLYGON_TYPES | {0}:
+        raise ValueError(f"Unsupported shape type {shape_type} (need polygons)")
+
+    records = []
+    pos = 100
+    while pos + 8 <= min(file_len, len(data)):
+        _, content_len = struct.unpack(">ii", data[pos : pos + 8])
+        pos += 8
+        rec_end = pos + content_len * 2
+        stype = struct.unpack("<i", data[pos : pos + 4])[0]
+        if stype in POLYGON_TYPES:
+            x1, y1, x2, y2 = struct.unpack("<4d", data[pos + 4 : pos + 36])
+            nparts, npoints = struct.unpack("<ii", data[pos + 36 : pos + 44])
+            parts = struct.unpack(
+                f"<{nparts}i", data[pos + 44 : pos + 44 + 4 * nparts]
+            )
+            pts_off = pos + 44 + 4 * nparts
+            pts = struct.unpack(
+                f"<{2 * npoints}d", data[pts_off : pts_off + 16 * npoints]
+            )
+            points = [(pts[2 * i], pts[2 * i + 1]) for i in range(npoints)]
+            rings = [
+                points[parts[i] : (parts[i + 1] if i + 1 < nparts else npoints)]
+                for i in range(nparts)
+            ]
+            records.append({"rings": rings, "bbox": (x1, y1, x2, y2)})
+        else:  # null shape keeps record alignment
+            records.append({"rings": [], "bbox": None})
+        pos = rec_end
+    return records
+
+
+def read_dbf(path: Union[str, Path]) -> List[Dict[str, str]]:
+    """Read DBF attribute records as string dicts (numeric parsing is the
+    caller's concern, matching pandas' to_numeric usage downstream)."""
+    data = Path(path).read_bytes()
+    n_records = struct.unpack("<i", data[4:8])[0]
+    header_size, record_size = struct.unpack("<hh", data[8:12])
+
+    fields = []
+    pos = 32
+    while pos < header_size - 1 and data[pos] != 0x0D:
+        name = data[pos : pos + 11].split(b"\x00")[0].decode("ascii", "replace")
+        length = data[pos + 16]
+        fields.append((name, length))
+        pos += 32
+
+    records = []
+    pos = header_size
+    for _ in range(n_records):
+        if pos + record_size > len(data):
+            break
+        rec = data[pos : pos + record_size]
+        pos += record_size
+        if rec[:1] == b"*":  # deleted
+            continue
+        off = 1
+        row = {}
+        for name, length in fields:
+            row[name] = rec[off : off + length].decode("latin-1").strip()
+            off += length
+        records.append(row)
+    return records
+
+
+def read_shapefile(path: Union[str, Path]) -> List[Dict]:
+    """Geometry + attributes: [{'rings', 'bbox', 'attributes': {...}}].
+
+    ``.explode()`` parity note: the reference explodes multi-polygons
+    (createmasks.py:167); shapefile polygon records already carry one
+    polygon (+holes) per record in this dataset, and the rasterizer handles
+    multiple outer rings per record anyway, so no explosion is needed.
+    """
+    path = Path(path)
+    shp = read_shp(path.with_suffix(".shp"))
+    dbf_path = path.with_suffix(".dbf")
+    attrs = read_dbf(dbf_path) if dbf_path.exists() else [{}] * len(shp)
+    out = []
+    for geom, attr in zip(shp, attrs):
+        out.append({**geom, "attributes": attr})
+    return out
+
+
+def read_prj(path: Union[str, Path]) -> Optional[str]:
+    prj = Path(path).with_suffix(".prj")
+    return prj.read_text().strip() if prj.exists() else None

@@ -1,0 +1,191 @@
+"""Inference engines: single-model, ensemble mode-vote, AOT-exported.
+
+Counterpart of the engine hierarchy in
+/root/reference/deadtrees/deployment/inference.py:14-143:
+
+- :class:`JaxInference` ≙ ``PyTorchInference``: load checkpoint, sniff the
+  channel count from the first conv kernel (reference sniffs the first
+  weight, inference.py:42), RGBN→RGB slicing when a 3-channel model gets
+  4-band input (inference.py:57-59), jit-compiled batched argmax prediction;
+- :class:`EnsembleInference` ≙ ``PyTorchEnsembleInference``: odd-N majority
+  vote — the reference's ``torch.mode`` over stacked argmaxes
+  (inference.py:116) becomes an on-device one-hot sum + argmax (vmapped over
+  stacked parameter pytrees, one compiled program for the whole ensemble);
+- :class:`ExportedInference` ≙ ``ONNXInference``: runs an AOT-serialized
+  artifact from ``jax.export`` (export.py) — the ONNX analogue.
+
+Engines accept NHWC uint8/float arrays; normalization happens inside the
+compiled function (val_transform semantics, deadtreedata.py:148-154).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deadtrees_tpu.core.checkpoint import load_model
+from deadtrees_tpu.data.augment import normalize
+from deadtrees_tpu.data.config import DATASET_CONFIG
+
+log = logging.getLogger(__name__)
+
+
+def _sniff_in_channels(params, hparams: Optional[dict] = None) -> int:
+    """Channel count: from hparams when present, else the encoder STEM conv
+    kernel (HWIO layout). The reference sniffs the first weight of the state
+    dict (inference.py:42); a flax tree iterates alphabetically, so we look
+    up the stem by name ('Conv_0' in both encoder families) rather than
+    taking whatever kernel comes first."""
+    if hparams and "in_channels" in hparams:
+        return int(hparams["in_channels"])
+    enc = params.get("encoder", params)
+    stem = enc.get("Conv_0")
+    if stem is not None and "kernel" in stem:
+        return int(stem["kernel"].shape[2])
+    # fallback: the 4-D kernel with the smallest input-channel dim
+    leaves = [
+        leaf
+        for _, leaf in jax.tree_util.tree_leaves_with_path(enc)
+        if getattr(leaf, "ndim", 0) == 4
+    ]
+    if not leaves:
+        raise ValueError("Could not sniff input channels from params")
+    return int(min(leaf.shape[2] for leaf in leaves))
+
+
+class Inference:
+    """ABC surface matching the reference (inference.py:14-27)."""
+
+    def run(self, batch: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class JaxInference(Inference):
+    def __init__(
+        self,
+        checkpoint: Union[str, Path],
+        *,
+        mean: Sequence[float] = DATASET_CONFIG.mean,
+        std: Sequence[float] = DATASET_CONFIG.std,
+    ):
+        self.model, self.variables, self.hparams = load_model(checkpoint)
+        self.in_channels = _sniff_in_channels(self.variables["params"], self.hparams)
+        mean = tuple(mean)[: self.in_channels]
+        std = tuple(std)[: self.in_channels]
+
+        model = self.model
+
+        @jax.jit
+        def _predict(params, batch_stats, img_u8):
+            img = normalize(img_u8.astype(jnp.float32), mean, std)
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, img, train=False
+            )
+            probs = jax.nn.softmax(logits, axis=-1)
+            return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+
+        self._predict = _predict
+
+    def _slice_channels(self, batch: np.ndarray) -> np.ndarray:
+        # RGBN checkpoint trained on 3 channels: drop NIR (inference.py:57-59)
+        if batch.shape[-1] > self.in_channels:
+            batch = batch[..., : self.in_channels]
+        return batch
+
+    def run(self, batch: np.ndarray) -> np.ndarray:
+        """(B, H, W, C) uint8 → (B, H, W) uint8 class map."""
+        batch = self._slice_channels(np.asarray(batch))
+        return np.asarray(
+            self._predict(
+                self.variables["params"], self.variables["batch_stats"], batch
+            )
+        )
+
+
+class EnsembleInference(Inference):
+    """Odd-N majority vote over models with IDENTICAL architecture.
+
+    The reference loads N checkpoints and modes their argmaxes
+    (inference.py:65-116); here the N parameter sets are stacked and the
+    whole ensemble runs as one vmapped compiled program.
+    """
+
+    def __init__(
+        self,
+        checkpoints: Sequence[Union[str, Path]],
+        *,
+        mean: Sequence[float] = DATASET_CONFIG.mean,
+        std: Sequence[float] = DATASET_CONFIG.std,
+    ):
+        if len(checkpoints) % 2 != 1:
+            raise ValueError(
+                f"Ensemble inference expects odd number of models, got {len(checkpoints)}"
+            )
+        models, variables_list = [], []
+        for c in checkpoints:
+            m, v, hp = load_model(c)
+            models.append((m, hp))
+            variables_list.append(v)
+        hp0 = models[0][1]
+        for _, hp in models[1:]:
+            if hp != hp0:
+                raise ValueError("Ensemble members must share hparams")
+        self.model = models[0][0]
+        self.hparams = hp0
+        self.num_classes = hp0.get("classes", 3)
+        self.in_channels = _sniff_in_channels(variables_list[0]["params"], hp0)
+        mean = tuple(mean)[: self.in_channels]
+        std = tuple(std)[: self.in_channels]
+
+        self.stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *variables_list
+        )
+        model = self.model
+        k = self.num_classes
+
+        @jax.jit
+        def _predict(stacked_vars, img_u8):
+            img = normalize(img_u8.astype(jnp.float32), mean, std)
+
+            def single(variables):
+                logits = model.apply(variables, img, train=False)
+                return jnp.argmax(logits, axis=-1)
+
+            preds = jax.vmap(single)(stacked_vars)  # (M, B, H, W)
+            votes = jax.nn.one_hot(preds, k, dtype=jnp.int32).sum(axis=0)
+            # torch.mode returns the SMALLEST mode on ties; argmax picks the
+            # first maximum, which is the same class index ordering.
+            # NOTE: vmapped convs may differ from the unvmapped program by an
+            # ulp, so pixels whose top-2 logits are near-tied can vote
+            # differently than a single-model run — observed at O(1e-4) of
+            # pixels; inherent to batched-vs-loop fp lowering, not a bug.
+            return jnp.argmax(votes, axis=-1).astype(jnp.uint8)
+
+        self._predict = _predict
+
+    def run(self, batch: np.ndarray) -> np.ndarray:
+        batch = np.asarray(batch)
+        if batch.shape[-1] > self.in_channels:
+            batch = batch[..., : self.in_channels]
+        return np.asarray(self._predict(self.stacked, batch))
+
+
+class ExportedInference(Inference):
+    """Runs a serialized jax.export artifact (the ONNX analogue)."""
+
+    def __init__(self, artifact: Union[str, Path]):
+        from deadtrees_tpu.infer.export import load_exported
+
+        self._fn, self.meta = load_exported(artifact)
+        self.in_channels = self.meta.get("in_channels", 4)
+
+    def run(self, batch: np.ndarray) -> np.ndarray:
+        batch = np.asarray(batch)
+        if batch.shape[-1] > self.in_channels:
+            batch = batch[..., : self.in_channels]
+        return np.asarray(self._fn(batch.astype(np.uint8)))

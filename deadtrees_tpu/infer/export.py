@@ -1,0 +1,92 @@
+"""AOT export of the inference function — the ONNX-artifact analogue.
+
+The reference ships serving as an ONNX file with a dynamic batch axis
+(/root/reference/scripts/create_onnx.py:31-45, opset 11). The TPU-native
+equivalent is a serialized ``jax.export`` StableHLO artifact: the jitted
+uint8→classmap predictor (normalize folded in, params baked as constants)
+exported with a symbolic batch dimension, loadable without the original
+Python model code.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Callable, Dict, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+from jax import export as jax_export
+
+from deadtrees_tpu.core.checkpoint import load_model
+from deadtrees_tpu.data.augment import normalize
+from deadtrees_tpu.data.config import DATASET_CONFIG
+
+log = logging.getLogger(__name__)
+
+_MAGIC = b"DTPUEXP1\n"
+
+
+def export_inference(
+    checkpoint: Union[str, Path],
+    outfile: Union[str, Path],
+    *,
+    image_size: int = 256,
+    mean=DATASET_CONFIG.mean,
+    std=DATASET_CONFIG.std,
+) -> None:
+    """Checkpoint → serialized AOT artifact with dynamic batch axis."""
+    model, variables, hp = load_model(checkpoint)
+    in_channels = hp.get("in_channels", 4)
+    mean = tuple(mean)[:in_channels]
+    std = tuple(std)[:in_channels]
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    def predict(img_u8):
+        img = normalize(img_u8.astype(jnp.float32), mean, std)
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, img, train=False
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+    (b,) = jax_export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, image_size, image_size, in_channels), jnp.uint8)
+    exported = jax_export.export(jax.jit(predict))(spec)
+
+    payload = {
+        "artifact": exported.serialize(),
+        "meta": json.dumps(
+            {
+                "in_channels": in_channels,
+                "image_size": image_size,
+                "classes": hp.get("classes", 3),
+                "hparams": hp,
+            }
+        ).encode(),
+    }
+    outfile = Path(outfile)
+    outfile.parent.mkdir(parents=True, exist_ok=True)
+    with open(outfile, "wb") as f:
+        f.write(_MAGIC)
+        f.write(serialization.msgpack_serialize(payload))
+    log.info(f"Exported inference artifact to {outfile}")
+
+
+def load_exported(
+    path: Union[str, Path]
+) -> Tuple[Callable[[np.ndarray], Any], Dict]:
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"Not an exported artifact: {path}")
+        payload = serialization.msgpack_restore(f.read())
+    meta = json.loads(payload["meta"])
+    exported = jax_export.deserialize(payload["artifact"])
+
+    def fn(img_u8: np.ndarray):
+        return exported.call(jnp.asarray(img_u8))
+
+    return fn, meta

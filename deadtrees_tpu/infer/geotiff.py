@@ -1,0 +1,125 @@
+"""Minimal GeoTIFF IO for scene inference.
+
+The reference leans on rasterio/rioxarray (C/GDAL) for scene reads and
+LZW-compressed georeferenced writes (/root/reference/deadtrees/deployment/
+tiler.py:101-140). This module keeps geo IO at the host edge with a layered
+backend:
+
+1. rasterio, when installed (full GDAL fidelity);
+2. a PIL fallback that reads any baseline TIFF and ROUND-TRIPS the GeoTIFF
+   georeferencing tags (ModelPixelScale 33550, ModelTiepoint 33922,
+   ModelTransformation 34264, GeoKeyDirectory 34735, GeoDoubleParams 34736,
+   GeoAsciiParams 34737, GDAL metadata 42112 / nodata 42113) onto outputs
+   so predictions stay geo-registered.
+
+Arrays are exchanged as (H, W) or (H, W, C) numpy — the device-facing side
+(tiler.py here) never sees file formats.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, Optional, Tuple, Union
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+try:
+    import rasterio  # type: ignore
+
+    HAVE_RASTERIO = True
+except Exception:  # pragma: no cover
+    rasterio = None
+    HAVE_RASTERIO = False
+
+# GeoTIFF + GDAL private tags to preserve
+GEO_TAGS = (33550, 33922, 34264, 34735, 34736, 34737, 42112, 42113)
+
+
+class GeoImage:
+    """An (H, W[, C]) array plus opaque georeferencing to round-trip."""
+
+    def __init__(self, data: np.ndarray, geo: Optional[Dict] = None):
+        self.data = data
+        self.geo = geo or {}
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.data.shape
+
+
+def read_geotiff(path: Union[str, Path]) -> GeoImage:
+    """Read a scene as (H, W, C) uint8/uint16 + georeferencing blob."""
+    path = str(path)
+    if HAVE_RASTERIO:
+        with rasterio.open(path) as src:
+            data = src.read()  # (C, H, W)
+            data = np.transpose(data, (1, 2, 0))
+            geo = {
+                "backend": "rasterio",
+                "crs": src.crs,
+                "transform": src.transform,
+                "nodata": src.nodata,
+            }
+        return GeoImage(data, geo)
+
+    from PIL import Image, TiffImagePlugin  # noqa: F401
+
+    with Image.open(path) as img:
+        tags = {}
+        if hasattr(img, "tag_v2"):
+            for t in GEO_TAGS:
+                if t in img.tag_v2:
+                    tags[t] = img.tag_v2[t]
+        data = np.asarray(img)
+    if data.ndim == 2:
+        data = data[..., None]
+    return GeoImage(data, {"backend": "pil", "tags": tags})
+
+
+def write_geotiff(
+    path: Union[str, Path],
+    data: np.ndarray,
+    geo: Optional[Dict] = None,
+    *,
+    compress: str = "LZW",
+) -> None:
+    """Write (H, W) or (H, W, C) with preserved georeferencing + LZW
+    (reference writes LZW tiled rasters, tiler.py:140)."""
+    path = str(path)
+    geo = geo or {}
+    if HAVE_RASTERIO and geo.get("backend") == "rasterio":
+        arr = data[None] if data.ndim == 2 else np.transpose(data, (2, 0, 1))
+        with rasterio.open(
+            path,
+            "w",
+            driver="GTiff",
+            height=arr.shape[1],
+            width=arr.shape[2],
+            count=arr.shape[0],
+            dtype=arr.dtype,
+            crs=geo.get("crs"),
+            transform=geo.get("transform"),
+            nodata=geo.get("nodata"),
+            compress=compress.lower(),
+            tiled=True,
+        ) as dst:
+            dst.write(arr)
+        return
+
+    from PIL import Image, TiffImagePlugin
+
+    if data.ndim == 3 and data.shape[-1] == 1:
+        data = data[..., 0]
+    img = Image.fromarray(data)
+    tiffinfo = TiffImagePlugin.ImageFileDirectory_v2()
+    for t, v in geo.get("tags", {}).items():
+        tiffinfo[t] = v
+    img.save(
+        path,
+        format="TIFF",
+        compression="tiff_lzw" if compress.upper() == "LZW" else None,
+        tiffinfo=tiffinfo,
+    )

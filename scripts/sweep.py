@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Hyperparameter-sweep runner: job-level parallelism over TPU slices.
+
+Counterpart of the reference's sweep orchestration (SURVEY.md §2.2
+job-level parallelism): W&B grid sweep + one SLURM agent per node
+(/root/reference/sweep_slurm.py:22-56, sweep.yaml:1-33, start-agent.sh).
+Here the grid is expanded locally from the same sweep.yaml surface and runs
+are dispatched either
+
+- sequentially on this host (``--launcher local``, the single-agent case),
+- one subprocess per command template (``--launcher slurm`` emits ``srun``
+  lines, ``--launcher print`` just prints them for pod schedulers) — the
+  coordination plane is the filesystem (one results.jsonl), not a W&B
+  server, since this environment has no egress.
+
+Each run invokes ``run.py <overrides>`` and records the optimized metric;
+the best configuration is reported at the end (the reference's sweep
+objective is the return value of train(), train.py:116-139).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import yaml
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def expand_grid(params: dict):
+    keys, values = [], []
+    for k, spec in params.items():
+        keys.append(k)
+        values.append(spec["values"] if isinstance(spec, dict) else [spec])
+    for combo in itertools.product(*values):
+        yield dict(zip(keys, combo))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("sweep_config", type=Path, nargs="?", default=Path("sweep.yaml"))
+    parser.add_argument("--launcher", choices=["local", "slurm", "print"], default="local")
+    parser.add_argument("--results", type=Path, default=Path("sweep_results.jsonl"))
+    parser.add_argument("--extra", nargs="*", default=[], help="extra overrides for every run")
+    args = parser.parse_args()
+
+    cfg = yaml.safe_load(args.sweep_config.read_text())
+    program = cfg.get("program", "run.py")
+    metric = cfg.get("metric", {}).get("name", "val/dice")
+    goal = cfg.get("metric", {}).get("goal", "maximize")
+
+    combos = list(expand_grid(cfg.get("parameters", {})))
+    print(f"sweep: {len(combos)} configurations, metric {metric} ({goal})")
+
+    results = []
+    for i, combo in enumerate(combos):
+        overrides = [f"{k}={v}" for k, v in combo.items()] + list(args.extra)
+        overrides.append(f"optimized_metric={metric}")
+        cmd = [sys.executable, program, *overrides]
+        if args.launcher == "print":
+            print(" ".join(cmd))
+            continue
+        if args.launcher == "slurm":
+            cmd = ["srun", "--nodes=1", "--ntasks=1", *cmd]
+        print(f"[{i + 1}/{len(combos)}] {' '.join(overrides)}")
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        value = None
+        for line in reversed(proc.stdout.strip().splitlines() or [""]):
+            try:
+                value = float(line.strip())
+                break
+            except ValueError:
+                continue
+        rec = {"overrides": overrides, "value": value, "returncode": proc.returncode}
+        results.append(rec)
+        with open(args.results, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    scored = [r for r in results if r["value"] is not None]
+    if scored:
+        best = (max if goal == "maximize" else min)(scored, key=lambda r: r["value"])
+        print(f"BEST {metric}={best['value']}: {' '.join(best['overrides'])}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,254 @@
+"""Data-layer tests: shard splitting, tar round-trip, augmentation parity,
+end-to-end pipeline batches.
+
+Shard-split expectations mirror the reference's semantics
+(deadtreedata.py:47-88); the tar format matches what wds.ShardWriter
+produces (scripts/createdataset.py:161-194); augmentation parity is checked
+against a NumPy re-statement of the albumentations math
+(deadtreedata.py:132-146).
+"""
+
+import io
+import tarfile
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deadtrees_tpu.data import (
+    DataConfig,
+    DeadtreesDataModule,
+    ShardSampleStream,
+    augment_batch,
+    count_shard_samples,
+    decode_sample,
+    iter_tar_samples,
+    split_shards,
+)
+from deadtrees_tpu.data.augment import normalize, sample_augment_params
+
+# ---------------------------------------------------------------------------
+# split_shards
+# ---------------------------------------------------------------------------
+
+
+def test_split_shards_fractions():
+    shards = [f"s{i:03d}.tar" for i in range(10)]
+    tr, va, te = split_shards(shards, [0.7, 0.2, 0.1])
+    assert len(tr) == 7 and len(va) == 2 and len(te) == 1
+    assert tr + va + te == sorted(shards)
+
+
+def test_split_shards_fixup_small():
+    # 4 shards at [0.7,0.2,0.1] rounds to [3,1,0] -> fixup all-but-2/1/1
+    shards = [f"s{i}.tar" for i in range(4)]
+    tr, va, te = split_shards(shards, [0.7, 0.2, 0.1])
+    assert len(tr) == 2 and len(va) == 1 and len(te) == 1
+
+
+def test_split_shards_two_way_appends_none():
+    shards = [f"s{i}.tar" for i in range(5)]
+    tr, va, te = split_shards(shards, [0.8, 0.2])
+    assert te is None
+    assert len(tr) == 4 and len(va) == 1
+
+
+def test_split_shards_bad_fractions():
+    with pytest.raises(AssertionError):
+        split_shards(["a", "b"], [0.5, 0.2])
+
+
+def test_split_shards_not_enough():
+    # 3 shards round to [2,1,0]; fixup needs >2 in train -> ValueError
+    with pytest.raises(ValueError):
+        split_shards(["a", "b", "c"], [0.7, 0.2, 0.1])
+
+
+# ---------------------------------------------------------------------------
+# tar reader
+# ---------------------------------------------------------------------------
+
+
+def _write_shard(path: Path, n: int, size: int = 32, with_lu: bool = True, seed=0):
+    """Write a wds-style shard with PIL TIFF members like createdataset.py."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    keys = []
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            key = f"tile_{i:04d}"
+            keys.append(key)
+            rgbn = rng.integers(0, 255, (size, size, 4), dtype=np.uint8)
+            mask = rng.integers(0, 3, (size, size), dtype=np.uint8)
+            lu = rng.integers(0, 2, (size, size), dtype=np.uint8)
+            frac = float(mask.astype(bool).mean() * 100)
+
+            def add(name, data: bytes):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+            def tiff_bytes(arr, mode):
+                buf = io.BytesIO()
+                Image.fromarray(arr, mode=mode).save(buf, format="TIFF")
+                return buf.getvalue()
+
+            add(f"{key}.rgbn.tif", tiff_bytes(rgbn, "RGBA"))
+            add(f"{key}.mask.tif", tiff_bytes(mask, "L"))
+            if with_lu:
+                add(f"{key}.lu.tif", tiff_bytes(lu, "L"))
+            add(f"{key}.txt", f"{frac:.2f}".encode())
+    return keys
+
+
+def test_tar_roundtrip(tmp_path):
+    shard = tmp_path / "train-000000.tar"
+    keys = _write_shard(shard, 5)
+    samples = list(iter_tar_samples(str(shard)))
+    assert len(samples) == 5
+    assert [s["__key__"].decode() for s in samples] == keys
+    assert count_shard_samples(str(shard)) == 5
+
+    decoded = decode_sample(samples[0])
+    assert decoded["image"].shape == (32, 32, 4)
+    assert decoded["image"].dtype == np.uint8
+    assert decoded["mask"].shape == (32, 32)
+    assert set(np.unique(decoded["mask"])) <= {0, 1, 2}
+    assert decoded["stats"]["file"] == "tile_0000"
+    assert 0 <= decoded["stats"]["frac"] <= 100
+
+
+def test_stream_shuffle_covers_everything(tmp_path):
+    shard1 = tmp_path / "a-000000.tar"
+    shard2 = tmp_path / "a-000001.tar"
+    _write_shard(shard1, 4, seed=1)
+    _write_shard(shard2, 4, seed=2)
+    stream = ShardSampleStream([str(shard1), str(shard2)], shuffle=8, seed=3)
+    files = [s["stats"]["file"] for s in stream]
+    assert len(files) == 8
+
+
+# ---------------------------------------------------------------------------
+# augmentation
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_matches_albumentations_math():
+    img = np.full((1, 8, 8, 4), 128, np.uint8)
+    out = augment_batch(jax.random.PRNGKey(0), jnp.asarray(img), train=False)["image"]
+    mean = np.array([0.3661029729, 0.3875165941, 0.3501133538, 0.5797285859])
+    std = np.array([0.2388708549, 0.2103625723, 0.2050272174, 0.2025812523])
+    expected = (128.0 - mean * 255) / (std * 255)
+    assert np.allclose(np.asarray(out)[0, 0, 0], expected, atol=1e-5)
+
+
+def test_augment_geometric_consistency():
+    """Image and mask must receive the same dihedral transform."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (16, 16, 16, 4), dtype=np.uint8)
+    mask = img[..., 0].astype(np.int32) % 3
+
+    out = augment_batch(
+        jax.random.PRNGKey(42), jnp.asarray(img), jnp.asarray(mask), train=True
+    )
+    # invert normalization, undo color jitter is impossible — instead check
+    # rank correspondence: the mask was derived from channel 0, so the argmax
+    # position of channel 0 must match between image and mask transform.
+    # Simpler: run with a constant-channel trick
+    img2 = np.zeros((4, 8, 8, 4), np.uint8)
+    img2[:, 0, :, :] = 255  # top row bright
+    mask2 = np.zeros((4, 8, 8), np.int32)
+    mask2[:, 0, :] = 1  # top row class 1
+    out2 = augment_batch(
+        jax.random.PRNGKey(7), jnp.asarray(img2), jnp.asarray(mask2), train=True
+    )
+    img_o = np.asarray(out2["image"])
+    mask_o = np.asarray(out2["mask"])
+    # wherever mask==1, the (normalized) image must be at its bright value
+    for b in range(4):
+        bright = img_o[b, ..., 0][mask_o[b] == 1]
+        dark = img_o[b, ..., 0][mask_o[b] == 0]
+        assert bright.min() > dark.max()
+
+
+def test_augment_param_distributions():
+    params = sample_augment_params(jax.random.PRNGKey(0), 4096)
+    flip_any = np.asarray(params["flip_h"] | params["flip_v"])
+    assert 0.45 < flip_any.mean() < 0.55  # OneOf p=0.5
+    rot_k = np.asarray(params["rot_k"])
+    assert 0.55 < (rot_k == 0).mean() < 0.70  # off (0.5) + k=0 (0.125)
+    alpha = np.asarray(params["alpha"])
+    assert np.all((alpha >= 0.85) & (alpha <= 1.15))
+    assert 0.45 < (alpha == 1.0).mean() < 0.55
+    beta = np.asarray(params["beta"])
+    assert np.all((beta >= -0.2) & (beta <= 0.2))
+
+
+def test_color_jitter_reference_math():
+    """uint8 LUT semantics: out = floor(clip(v*alpha + beta*mean(img)))."""
+    from deadtrees_tpu.data.augment import _color_jitter_u8
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (2, 8, 8, 4), dtype=np.uint8)
+    alpha = jnp.asarray([1.1, 0.9])
+    beta = jnp.asarray([0.15, -0.1])
+    out = np.asarray(_color_jitter_u8(jnp.asarray(img), alpha, beta))
+    for b in range(2):
+        m = img[b].astype(np.float64).mean()
+        expected = np.floor(
+            np.clip(img[b] * float(alpha[b]) + float(beta[b]) * m, 0, 255)
+        )
+        assert np.allclose(out[b], expected)
+
+
+# ---------------------------------------------------------------------------
+# pipeline end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_datamodule_end_to_end(tmp_path):
+    for i in range(5):
+        _write_shard(tmp_path / f"train-{i:06d}.tar", 8, seed=i)
+
+    cfg = DataConfig(
+        data_dir=str(tmp_path),
+        pattern="*.tar",
+        batch_size=4,
+        in_channels=4,
+        classes=3,
+        distmap=True,
+        shuffle_buffer=8,
+    )
+    dm = DeadtreesDataModule(cfg)
+    dm.setup()
+    assert dm.shard_size == 8
+    # 5 shards split [4,1,0] -> fixup [3,1,1]; 3 train shards x 8 // 4
+    assert dm.steps_per_epoch == 3 * 8 // 4
+
+    batches = list(dm.train_batches())
+    assert len(batches) >= 5  # 3 train shards (fixup) x 8 / 4 = 6
+    b = batches[0]
+    assert b["image"].shape == (4, 32, 32, 4)
+    assert b["image"].dtype == jnp.float32
+    assert b["mask"].shape == (4, 32, 32)
+    assert b["distmap"].shape == (4, 32, 32, 3)
+    assert b["lu"].shape == (4, 32, 32)
+    assert len(b["files"]) == 4
+
+    val = next(iter(dm.val_batches()))
+    assert val["image"].shape == (4, 32, 32, 4)
+
+
+def test_datamodule_two_class_collapse(tmp_path):
+    for i in range(5):
+        _write_shard(tmp_path / f"t-{i:06d}.tar", 8, seed=i)
+    cfg = DataConfig(
+        data_dir=str(tmp_path), batch_size=4, classes=2, distmap=False
+    )
+    dm = DeadtreesDataModule(cfg)
+    dm.setup()
+    b = next(iter(dm.train_batches()))
+    assert set(np.unique(np.asarray(b["mask"]))) <= {0, 1}
