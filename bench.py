@@ -63,14 +63,20 @@ def bench_inference(
     )
     params, batch_stats = variables["params"], variables["batch_stats"]
 
+    def sync(x):
+        # block_until_ready does NOT actually synchronize through the axon
+        # TPU tunnel (measured: deferred work drains on the next transfer);
+        # a tiny D2H read is the only reliable barrier.
+        np.asarray(x[0, 0, :8])
+
     for _ in range(warmup):
         pred, _ = predict(params, batch_stats, img)
-    jax.block_until_ready(pred)
+        sync(pred)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         pred, _ = predict(params, batch_stats, img)
-    jax.block_until_ready(pred)
+    sync(pred)
     dt = time.perf_counter() - t0
 
     tiles = iters * batch_size * (image_size / 512.0) ** 2

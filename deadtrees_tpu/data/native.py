@@ -1,0 +1,148 @@
+"""ctypes bindings for the native data-plane (native/deadtrees_io.cpp).
+
+Provides the C++-backed fast path for shard reading: tar header indexing,
+baseline-TIFF decoding (none/LZW/PackBits, predictor 2), and a thread-pool
+batched decode producing one contiguous (N, H, W, C) uint8 array ready for
+``jax.device_put``. Falls back silently to the pure-Python tar/PIL path
+(data/tar.py) when the shared library hasn't been built
+(``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_LIB_CANDIDATES = (
+    Path(__file__).resolve().parents[2] / "native" / "libdeadtrees_io.so",
+    Path(os.environ.get("DEADTREES_IO_LIB", "")),
+)
+
+
+class _TarEntry(ctypes.Structure):
+    _fields_ = [
+        ("offset", ctypes.c_int64),
+        ("size", ctypes.c_int64),
+        ("name", ctypes.c_char * 200),
+    ]
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    for cand in _LIB_CANDIDATES:
+        if cand and cand.is_file():
+            try:
+                lib = ctypes.CDLL(str(cand))
+            except OSError as e:  # pragma: no cover
+                log.warning(f"failed to load {cand}: {e}")
+                continue
+            lib.tar_index.restype = ctypes.c_int64
+            lib.tar_index.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(_TarEntry),
+                ctypes.c_int64,
+            ]
+            lib.tiff_decode.restype = ctypes.c_int
+            lib.tiff_decode.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.decode_batch.restype = ctypes.c_int
+            lib.decode_batch.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+            ]
+            return lib
+    return None
+
+
+_LIB = _load_lib()
+
+
+def available() -> bool:
+    return _LIB is not None
+
+
+def tar_index(path: str, max_entries: int = 1_000_000) -> List[Tuple[str, int, int]]:
+    """[(member name, payload offset, size)] from tar headers only."""
+    assert _LIB is not None, "native library not built (make -C native)"
+    buf = (_TarEntry * max_entries)()
+    n = _LIB.tar_index(str(path).encode(), buf, max_entries)
+    if n < 0:
+        raise OSError(f"tar_index failed for {path}")
+    return [
+        (buf[i].name.decode(errors="replace"), buf[i].offset, buf[i].size)
+        for i in range(n)
+    ]
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    """Decode one TIFF byte string to (H, W[, C]) uint8."""
+    assert _LIB is not None, "native library not built (make -C native)"
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    c = ctypes.c_int32()
+    rc = _LIB.tiff_decode(data, len(data), None, h, w, c)
+    if rc != 0:
+        raise ValueError(f"tiff_decode header parse failed rc={rc}")
+    out = np.empty((h.value, w.value, c.value), np.uint8)
+    rc = _LIB.tiff_decode(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), h, w, c
+    )
+    if rc != 0:
+        raise ValueError(f"tiff_decode failed rc={rc}")
+    return out[..., 0] if c.value == 1 else out
+
+
+def decode_batch(
+    tar_path: str,
+    entries: List[Tuple[int, int]],  # (offset, size) of TIFF members
+    shape: Tuple[int, int, int],
+    n_threads: int = 4,
+) -> np.ndarray:
+    """Parallel decode of N same-shape TIFF members → (N, H, W, C) uint8."""
+    assert _LIB is not None, "native library not built (make -C native)"
+    n = len(entries)
+    h, w, c = shape
+    out = np.empty((n, h, w, c), np.uint8)
+    offs = (ctypes.c_int64 * n)(*[e[0] for e in entries])
+    sizes = (ctypes.c_int64 * n)(*[e[1] for e in entries])
+    rc = _LIB.decode_batch(
+        str(tar_path).encode(), offs, sizes, n,
+        out.ctypes.data_as(ctypes.c_void_p), h, w, c, n_threads,
+    )
+    if rc != 0:
+        raise ValueError(f"decode_batch failed rc={rc}")
+    return out
+
+
+def index_shard_samples(path: str) -> Dict[str, Dict[str, Tuple[int, int]]]:
+    """Group a shard's tar entries by sample key:
+    {key: {suffix: (offset, size)}} — the native analogue of
+    tar.iter_tar_samples's grouping, headers only."""
+    samples: Dict[str, Dict[str, Tuple[int, int]]] = {}
+    for name, off, size in tar_index(path):
+        if name.startswith("./"):
+            name = name[2:]
+        if "." not in name:
+            continue
+        key, suffix = name.split(".", 1)
+        samples.setdefault(key, {})[suffix] = (off, size)
+    return samples

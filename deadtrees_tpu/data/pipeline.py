@@ -38,7 +38,7 @@ import numpy as np
 from deadtrees_tpu.data.augment import augment_batch
 from deadtrees_tpu.data.config import DATASET_CONFIG
 from deadtrees_tpu.data.shards import discover_shards, split_shards
-from deadtrees_tpu.data.tar import ShardSampleStream, count_shard_samples
+from deadtrees_tpu.data.tar import ShardSampleStream, count_shard_samples, make_sample_stream
 from deadtrees_tpu.losses.functional import batch_one_hot2dist, class2one_hot
 
 
@@ -57,6 +57,7 @@ class DataConfig:
     distmap: bool = True
     split_fractions: Sequence[float] = DATASET_CONFIG.fractions
     seed: int = 0
+    use_native: bool = True  # C++ tar/TIFF fast path when built
 
 
 def _stack_samples(
@@ -221,15 +222,19 @@ class DeadtreesDataModule:
     ) -> Iterator[Dict[str, jnp.ndarray]]:
         cfg = self.cfg
         main = _BatchProducer(
-            ShardSampleStream(
-                main_shards, shuffle=shuffle, seed=cfg.seed, loop=loop
+            make_sample_stream(
+                main_shards, shuffle=shuffle, seed=cfg.seed, loop=loop,
+                prefer_native=cfg.use_native, n_threads=cfg.num_workers,
             ),
             self.main_batch_size if extra_shards else cfg.batch_size,
             cfg,
         )
         extras = [
             _BatchProducer(
-                ShardSampleStream(shards, shuffle=shuffle, seed=cfg.seed + 1 + i, loop=True),
+                make_sample_stream(
+                    shards, shuffle=shuffle, seed=cfg.seed + 1 + i, loop=True,
+                    prefer_native=cfg.use_native, n_threads=cfg.num_workers,
+                ),
                 bs,
                 cfg,
             )

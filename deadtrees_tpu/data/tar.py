@@ -157,3 +157,99 @@ def count_shard_samples(path: str) -> int:
     first shard at setup (deadtreedata.py:258); here it only parses tar
     headers, no decode."""
     return sum(1 for _ in iter_tar_samples(path))
+
+
+class NativeShardSampleStream(ShardSampleStream):
+    """C++-backed stream: native tar indexing + thread-pool TIFF decode
+    (native/deadtrees_io.cpp via data/native.py). Whole shards decode as
+    contiguous batches off the Python hot path; per-sample dicts are views.
+    Falls back to the PIL path per shard on any decode error."""
+
+    def __init__(self, *args, n_threads: int = 4, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.n_threads = n_threads
+
+    def _iter_shard(self, shard: str) -> Iterator[Dict]:
+        from deadtrees_tpu.data import native
+
+        try:
+            samples = native.index_shard_samples(shard)
+            keys = list(samples)
+            # decode dims from the first rgbn member
+            first = samples[keys[0]]["rgbn.tif"]
+            with open(shard, "rb") as f:
+                f.seek(first[0])
+                probe = native.tiff_decode(f.read(first[1]))
+            h, w = probe.shape[:2]
+            rgbn = native.decode_batch(
+                shard, [samples[k]["rgbn.tif"] for k in keys], (h, w, 4),
+                n_threads=self.n_threads,
+            )
+            masks = lus = None
+            if "mask.tif" in samples[keys[0]]:
+                masks = native.decode_batch(
+                    shard, [samples[k]["mask.tif"] for k in keys], (h, w, 1),
+                    n_threads=self.n_threads,
+                )
+            if "lu.tif" in samples[keys[0]]:
+                lus = native.decode_batch(
+                    shard, [samples[k]["lu.tif"] for k in keys], (h, w, 1),
+                    n_threads=self.n_threads,
+                )
+            with open(shard, "rb") as f:
+                for i, k in enumerate(keys):
+                    out: Dict = {"image": rgbn[i]}
+                    if masks is not None:
+                        out["mask"] = masks[i, ..., 0]
+                    if lus is not None:
+                        out["lu"] = lus[i, ..., 0]
+                    if "txt" in samples[k]:
+                        off, size = samples[k]["txt"]
+                        f.seek(off)
+                        out["stats"] = {"file": k, "frac": float(f.read(size))}
+                    yield out
+        except Exception:  # pragma: no cover - corrupted/unsupported shard
+            for raw in iter_tar_samples(shard):
+                yield decode_sample(raw)
+
+    def __iter__(self) -> Iterator[Dict]:
+        import random as _random
+
+        while True:
+            shards = list(self.shards)
+            if self.shuffle:
+                self._rng.shuffle(shards)
+            buf: List[Dict] = []
+            for shard in shards:
+                for sample in self._iter_shard(shard):
+                    if self.shuffle <= 1:
+                        yield sample
+                        continue
+                    buf.append(sample)
+                    if len(buf) >= self.shuffle:
+                        idx = self._rng.randrange(len(buf))
+                        buf[idx], buf[-1] = buf[-1], buf[idx]
+                        yield buf.pop()
+            self._rng.shuffle(buf)
+            yield from buf
+            if not self.loop:
+                return
+
+
+def make_sample_stream(
+    shards, *, shuffle: int = 0, seed: int = 0, loop: bool = False,
+    prefer_native: bool = True, n_threads: int = 4,
+) -> ShardSampleStream:
+    """Factory: native stream when the C++ library is built, else Python."""
+    if prefer_native:
+        try:
+            from deadtrees_tpu.data import native
+
+            if native.available():
+                return NativeShardSampleStream(
+                    shards, shuffle=shuffle, seed=seed, loop=loop,
+                    n_threads=n_threads,
+                )
+        except Exception:  # pragma: no cover
+            pass
+    return ShardSampleStream(shards, shuffle=shuffle, seed=seed, loop=loop)

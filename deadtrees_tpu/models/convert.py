@@ -1,0 +1,176 @@
+"""PyTorch → Flax weight conversion.
+
+The reference ships Lightning checkpoints and imagenet-pretrained encoders
+(/root/reference/checkpoints/bestmodel.ckpt.dvc, segmodel.py:85-90 via smp
+``get_encoder(weights="imagenet")``). To load those into this framework —
+for inference parity and pretrained initialization — torch tensors must map
+onto the Flax NHWC module tree:
+
+- conv kernels: torch OIHW → flax HWIO (transpose 2,3,1,0); depthwise convs
+  torch (C,1,kH,kW) → flax (kH,kW,1,C);
+- batchnorm: weight→scale, bias→bias (params); running_mean→mean,
+  running_var→var (batch_stats);
+- linear: (O,I) → (I,O).
+
+``convert_resnet_encoder`` maps the torchvision/smp resnet18/34 naming
+scheme onto :class:`deadtrees_tpu.models.encoders.ResNetEncoder`'s tree
+(verified by forward-parity tests against a torch reimplementation,
+tests/test_convert.py). EfficientNet and decoder mappings follow the same
+rules via :func:`convert_by_order` — a traversal-order matcher usable when
+the torch module defines layers in forward order (true for smp decoders).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Sequence, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def t2j_conv(w) -> np.ndarray:
+    """torch conv weight (O, I, kH, kW) → flax (kH, kW, I, O)."""
+    w = np.asarray(w)
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def t2j_depthwise_conv(w) -> np.ndarray:
+    """torch depthwise weight (C, 1, kH, kW) → flax (kH, kW, 1, C) with
+    feature_group_count=C."""
+    w = np.asarray(w)
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def t2j_linear(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def convert_bn(prefix: str, sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """(params {scale, bias}, batch_stats {mean, var}) from a torch BN."""
+    params = {
+        "scale": np.asarray(sd[f"{prefix}.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+    }
+    stats = {
+        "mean": np.asarray(sd[f"{prefix}.running_mean"]),
+        "var": np.asarray(sd[f"{prefix}.running_var"]),
+    }
+    return params, stats
+
+
+def convert_resnet_encoder(
+    sd: Dict[str, Any], stage_sizes: Sequence[int] = (2, 2, 2, 2)
+) -> Tuple[Dict, Dict]:
+    """torchvision/smp resnet18|34 state dict → (params, batch_stats) for
+    :class:`ResNetEncoder`.
+
+    Accepts keys with or without an ``encoder.`` prefix (Lightning
+    checkpoints nest under ``model.encoder.``, torchvision is bare).
+    """
+    # normalize prefix
+    keys = list(sd.keys())
+    for p in ("model.encoder.", "encoder.", ""):
+        if any(k.startswith(p + "conv1.weight") for k in keys):
+            sd = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+            break
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["Conv_0"] = {"kernel": t2j_conv(sd["conv1.weight"])}
+    params["BatchNorm_0"], stats["BatchNorm_0"] = convert_bn("bn1", sd)
+
+    block_idx = 0
+    for stage, n_blocks in enumerate(stage_sizes, start=1):
+        for b in range(n_blocks):
+            tp = f"layer{stage}.{b}"
+            name = f"BasicBlock_{block_idx}"
+            bp: Dict[str, Any] = {
+                "Conv_0": {"kernel": t2j_conv(sd[f"{tp}.conv1.weight"])},
+                "Conv_1": {"kernel": t2j_conv(sd[f"{tp}.conv2.weight"])},
+            }
+            bs: Dict[str, Any] = {}
+            bp["BatchNorm_0"], bs["BatchNorm_0"] = convert_bn(f"{tp}.bn1", sd)
+            bp["BatchNorm_1"], bs["BatchNorm_1"] = convert_bn(f"{tp}.bn2", sd)
+            if f"{tp}.downsample.0.weight" in sd:
+                bp["Conv_2"] = {"kernel": t2j_conv(sd[f"{tp}.downsample.0.weight"])}
+                bp["BatchNorm_2"], bs["BatchNorm_2"] = convert_bn(
+                    f"{tp}.downsample.1", sd
+                )
+            params[name] = bp
+            stats[name] = bs
+            block_idx += 1
+
+    return params, stats
+
+
+def _flatten_with_path(tree: Dict, path=()) -> List[Tuple[Tuple, Any]]:
+    out = []
+    for k in sorted(tree.keys()):
+        v = tree[k]
+        if isinstance(v, dict):
+            out.extend(_flatten_with_path(v, path + (k,)))
+        else:
+            out.append((path + (k,), v))
+    return out
+
+
+def convert_by_order(
+    torch_tensors: List[Tuple[str, Any]],
+    flax_params: Dict,
+) -> Dict:
+    """Shape-driven traversal matcher for forward-order torch modules.
+
+    Consumes torch (name, tensor) pairs in order; for each flax leaf (in
+    module-definition order via sorted names, which linen auto-numbers in
+    call order) takes the next torch tensor whose converted shape matches.
+    Raises when no match exists — a loud failure beats silent weight
+    scrambling.
+    """
+    leaves = _flatten_with_path(flax_params)
+    remaining = list(torch_tensors)
+    new_tree = {}
+
+    def set_path(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    for path, leaf in leaves:
+        target_shape = tuple(leaf.shape)
+        found = None
+        for i, (name, t) in enumerate(remaining[:8]):  # small lookahead
+            arr = np.asarray(t)
+            for conv in (lambda a: a, t2j_conv, t2j_linear):
+                try:
+                    c = conv(arr)
+                except Exception:
+                    continue
+                if tuple(c.shape) == target_shape:
+                    found = (i, c)
+                    break
+            if found:
+                break
+        if found is None:
+            raise ValueError(
+                f"No torch tensor matches flax leaf {'/'.join(path)} "
+                f"shape {target_shape}; next torch: "
+                f"{[(n, tuple(np.asarray(t).shape)) for n, t in remaining[:3]]}"
+            )
+        i, c = found
+        remaining.pop(i)
+        set_path(new_tree, path, c)
+    return new_tree
+
+
+def load_torch_state_dict(path) -> Dict[str, Any]:
+    """Load a torch/Lightning checkpoint's state dict from disk."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in obj.items()}

@@ -52,9 +52,11 @@ class BasicBlock(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
         residual = x
+        # explicit symmetric padding: torch pads (1,1) for stride-2 3x3
+        # convs, while XLA's "SAME" pads (0,1) — different alignment
         h = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
-            padding="SAME", use_bias=False,
+            padding=[(1, 1), (1, 1)], use_bias=False,
             kernel_init=nn.initializers.he_normal(),
             dtype=self.dtype, param_dtype=self.param_dtype,
         )(x)
@@ -189,10 +191,12 @@ class MBConv(nn.Module):
             h = norm()(h)
             h = jax.nn.silu(h)
 
+        pad = self.kernel_size // 2
         h = nn.Conv(
             mid, (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
-            padding="SAME", feature_group_count=mid, use_bias=False,
+            padding=[(pad, pad), (pad, pad)],  # torch static k//2 padding
+            feature_group_count=mid, use_bias=False,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )(h)
         h = norm()(h)
@@ -235,8 +239,9 @@ class EfficientNetEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         features = [x]
         stem = _round_channels(32, self.width_mult)
+        # torch-style symmetric (1,1) padding, not XLA "SAME" (0,1) at stride 2
         h = nn.Conv(
-            stem, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
+            stem, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)], use_bias=False,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )(x)
         h = nn.BatchNorm(

@@ -28,6 +28,7 @@ ARCHITECTURES = (
     "resunet",
     "resunetplusplus",
     "efficientunetplusplus",
+    "segformer",  # stretch: transformer segmentation (BASELINE config 5)
 )
 
 _ALIASES = {
@@ -42,8 +43,8 @@ def canonical_architecture(name: str) -> str:
     key = _ALIASES.get(key, key)
     if key not in ARCHITECTURES:
         raise NotImplementedError(
-            "Currently only Unet, ResUnet, Unet++, ResUnet++, and "
-            "EfficientUnet++ architectures are supported"
+            "Currently only Unet, ResUnet, Unet++, ResUnet++, "
+            "EfficientUnet++, and SegFormer architectures are supported"
         )
     return key
 
@@ -144,8 +145,22 @@ def create_model(
     dtype: Dtype = jnp.bfloat16,
     param_dtype: Dtype = jnp.float32,
     **_ignored,
-) -> SegmentationModel:
-    """Architecture-string dispatch (reference segmodel.py:61-75)."""
+):
+    """Architecture-string dispatch (reference segmodel.py:61-75, plus the
+    SegFormer stretch)."""
+    arch = canonical_architecture(architecture)
+    if arch == "segformer":
+        from deadtrees_tpu.models.segformer import SegFormer
+
+        return SegFormer(
+            encoder_name=(
+                encoder_name if encoder_name.lower().startswith("mit") else "mit-b0"
+            ),
+            in_channels=in_channels,
+            classes=classes,
+            dtype=dtype,
+            param_dtype=param_dtype,
+        )
     return SegmentationModel(
         architecture=canonical_architecture(architecture),
         encoder_name=encoder_name,

@@ -320,6 +320,29 @@ class Trainer:
         except Exception as e:  # pragma: no cover
             log.debug(f"sample figure skipped: {e}")
 
+    def resume(self, ckpt_path) -> int:
+        """Restore params/batch_stats/opt_state/step from a checkpoint;
+        returns the epoch to resume FROM (reference surface:
+        trainer.resume_from_checkpoint, configs/trainer/default.yaml:10)."""
+        from flax import serialization
+
+        from deadtrees_tpu.core.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(ckpt_path)
+        opt_state = self.state.opt_state
+        if "opt_state" in ckpt:
+            opt_state = serialization.from_bytes(opt_state, ckpt["opt_state"])
+        self.state = self.state.replace(
+            params=ckpt["params"],
+            batch_stats=ckpt["batch_stats"],
+            opt_state=opt_state,
+            step=jnp.asarray(int(ckpt.get("step", 0)), jnp.int32),
+        )
+        self.state = replicate(self.state, self.mesh)
+        start_epoch = int(ckpt.get("epoch", -1)) + 1
+        log.info(f"Resumed from {ckpt_path} at epoch {start_epoch}")
+        return start_epoch
+
     def fit(self) -> Dict[str, float]:
         self._build()
         tc = self.cfg.get("trainer", {})
@@ -330,6 +353,10 @@ class Trainer:
         detect_anomaly = bool(tc.get("detect_anomaly", False))
         profiler_dir = tc.get("profiler_dir")
 
+        start_epoch = 0
+        if tc.get("resume_from_checkpoint"):
+            start_epoch = self.resume(tc["resume_from_checkpoint"])
+
         if profiler_dir:
             jax.profiler.start_trace(str(profiler_dir))
 
@@ -339,7 +366,7 @@ class Trainer:
         last_val: Dict[str, float] = {}
 
         try:
-            for epoch in range(max_epochs):
+            for epoch in range(start_epoch, max_epochs):
                 frozen = bool(
                     self.multistage and epoch < self.multistage.unfreeze_epoch
                 )
@@ -435,6 +462,7 @@ class Trainer:
                 params=self.state.params,
                 batch_stats=self.state.batch_stats,
                 hparams=self.hparams,
+                opt_state=self.state.opt_state,  # enables exact resume
                 step=int(self.state.step),
                 epoch=epoch,
             )

@@ -1,0 +1,172 @@
+"""Checkpoint round-trip, retention policy, inference engines, AOT export,
+scene predictor, and the HTTP server — the deployment stack
+(reference deployment/inference.py, server.py, create_onnx.py analogues).
+"""
+
+import io
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deadtrees_tpu.core import (
+    BestCheckpointKeeper,
+    load_checkpoint,
+    save_checkpoint,
+)
+from deadtrees_tpu.models import create_model, init_model
+
+HPARAMS = dict(
+    architecture="unet",
+    encoder_name="resnet18",
+    in_channels=4,
+    classes=3,
+    decoder_channels=[16, 16, 8, 8, 8],
+)
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    model = create_model(**HPARAMS, dtype=jnp.float32)
+    variables = init_model(model, jax.random.PRNGKey(0), image_size=64)
+    path = tmp_path_factory.mktemp("ckpt") / "model.ckpt"
+    save_checkpoint(
+        path,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        hparams=HPARAMS,
+        step=123,
+        epoch=7,
+    )
+    return path
+
+
+def test_checkpoint_roundtrip(ckpt_path):
+    ckpt = load_checkpoint(ckpt_path)
+    assert ckpt["hparams"] == HPARAMS
+    assert int(ckpt["step"]) == 123 and int(ckpt["epoch"]) == 7
+    assert "encoder" in ckpt["params"]
+
+
+def test_checkpoint_rejects_garbage(tmp_path):
+    bad = tmp_path / "bad.ckpt"
+    bad.write_bytes(b"not a checkpoint")
+    with pytest.raises(ValueError):
+        load_checkpoint(bad)
+
+
+def test_best_keeper_retention(tmp_path):
+    keeper = BestCheckpointKeeper(tmp_path, monitor="val/dice", mode="max")
+    saved = []
+
+    def save_fn(path):
+        path.write_bytes(b"x")
+        saved.append(path.name)
+
+    assert keeper.update(0.5, 0, save_fn) is not None
+    assert keeper.update(0.4, 1, save_fn) is None  # no improvement
+    best = keeper.update(0.7, 2, save_fn)
+    assert best and best.name == "epoch_002.ckpt"
+    existing = {p.name for p in tmp_path.glob("*.ckpt")}
+    assert existing == {"last.ckpt", "epoch_002.ckpt"}  # old best deleted
+
+
+def test_jax_inference_engine(ckpt_path):
+    from deadtrees_tpu.infer import JaxInference
+
+    eng = JaxInference(ckpt_path)
+    assert eng.in_channels == 4
+    img = np.random.default_rng(0).integers(0, 255, (2, 64, 64, 4), np.uint8)
+    out = eng.run(img)
+    assert out.shape == (2, 64, 64)
+    assert out.dtype == np.uint8
+    assert set(np.unique(out)) <= {0, 1, 2}
+
+
+def test_ensemble_guards_and_vote(ckpt_path):
+    from deadtrees_tpu.infer import EnsembleInference, JaxInference
+
+    with pytest.raises(ValueError):
+        EnsembleInference([ckpt_path, ckpt_path])
+
+    ens = EnsembleInference([ckpt_path] * 3)
+    img = np.random.default_rng(1).integers(0, 255, (1, 64, 64, 4), np.uint8)
+    single = JaxInference(ckpt_path).run(img)
+    voted = ens.run(img)
+    # identical members: near-exact match (vmap fp ulps may flip near-ties)
+    assert (voted != single).mean() < 1e-2
+
+
+def test_export_roundtrip_dynamic_batch(ckpt_path, tmp_path):
+    from deadtrees_tpu.infer import ExportedInference, JaxInference
+    from deadtrees_tpu.infer.export import export_inference
+
+    artifact = tmp_path / "model.dtexp"
+    export_inference(ckpt_path, artifact, image_size=64)
+    exp = ExportedInference(artifact)
+    eng = JaxInference(ckpt_path)
+
+    for bs in (1, 3):
+        img = np.random.default_rng(bs).integers(0, 255, (bs, 64, 64, 4), np.uint8)
+        # the symbolic-batch program fuses differently; untrained nets on
+        # noise have many near-tied logits, so allow rare argmax flips
+        assert (exp.run(img) != eng.run(img)).mean() < 1e-2
+
+
+def test_scene_predictor_matches_engine(ckpt_path):
+    from deadtrees_tpu.infer import JaxInference, predict_scene
+
+    eng = JaxInference(ckpt_path)
+    scene = np.random.default_rng(2).integers(0, 255, (100, 150, 4), np.uint8)
+    out = predict_scene(
+        eng.model, eng.variables, scene, tile_shape=(128, 192), subtile=64,
+        batch_size=2,
+    )
+    assert out.shape == (100, 150)
+    # the top-left full subtile must agree with direct engine output
+    direct = eng.run(scene[None, :64, :64, :])[0]
+    assert np.array_equal(out[:64, :64], direct)
+
+
+def test_http_server_roundtrip(ckpt_path):
+    from PIL import Image
+
+    from deadtrees_tpu.serve import SegmentationService, serve_stdlib
+
+    svc = SegmentationService(ckpt_path)
+    server = serve_stdlib(svc, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        html = urllib.request.urlopen(f"http://127.0.0.1:{port}/").read()
+        assert b"DeadTrees" in html
+
+        img = np.zeros((64, 64, 4), np.uint8)
+        img[16:40, 16:40] = 90
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGBA").save(buf, "PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/segmentation", data=buf.getvalue(),
+            method="POST",
+        )
+        resp = urllib.request.urlopen(req)
+        assert resp.status == 200
+        mask = Image.open(io.BytesIO(resp.read()))
+        assert mask.size == (64, 64)
+        assert "X-fraction" in resp.headers
+        assert float(resp.headers["X-elapsed"]) > 0
+
+        # bad model type -> 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/segmentation?model_type=onnx",
+            data=buf.getvalue(), method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
