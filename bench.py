@@ -42,7 +42,7 @@ def bench_inference(
     warmup: int = 3,
     decoder_channels=(256, 128, 64, 32, 16),
 ) -> float:
-    from deadtrees_tpu.models import create_model, init_model
+    from deadtrees_tpu.models import create_model
     from deadtrees_tpu.train import make_predict_step
 
     model = create_model(
@@ -53,13 +53,35 @@ def bench_inference(
         decoder_channels=decoder_channels,
         dtype=jnp.bfloat16,
     )
-    variables = init_model(model, jax.random.PRNGKey(0), image_size=image_size)
-    predict = make_predict_step(model)
+    # materialize random params on HOST from eval_shape: compiling the init
+    # program for the b5 flagship costs ~10 min on this attachment and adds
+    # nothing to a throughput measurement
+    spec = jax.ShapeDtypeStruct((1, image_size, image_size, 4), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda xx: model.init(jax.random.PRNGKey(0), xx, train=False), spec
+    )
+    host_rng = np.random.default_rng(0)
+
+    def materialize(path, s):
+        name = jax.tree_util.keystr(path)
+        if "var" in name or "scale" in name:
+            return jnp.ones(s.shape, s.dtype)  # BN var/scale must be positive
+        if np.issubdtype(s.dtype, np.floating):
+            return jnp.asarray(host_rng.normal(0, 0.05, s.shape).astype(s.dtype))
+        return jnp.zeros(s.shape, s.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(materialize, shapes)
+    predict = make_predict_step(model, return_probs=False)
+
+    # uint8 input like the production engines: normalization happens inside
+    # the compiled program, and the H2D batch is 4x smaller than f32
+    from deadtrees_tpu.data.augment import normalize as _normalize
+    from deadtrees_tpu.data.config import DATASET_CONFIG as _DC
 
     img = jnp.asarray(
         np.random.default_rng(0)
-        .normal(size=(batch_size, image_size, image_size, 4))
-        .astype(np.float32)
+        .integers(0, 255, size=(batch_size, image_size, image_size, 4))
+        .astype(np.uint8)
     )
     params, batch_stats = variables["params"], variables["batch_stats"]
 
@@ -69,13 +91,18 @@ def bench_inference(
         # a tiny D2H read is the only reliable barrier.
         np.asarray(x[0, 0, :8])
 
+    @jax.jit
+    def run(params, batch_stats, img_u8):
+        x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
+        return predict(params, batch_stats, x)
+
     for _ in range(warmup):
-        pred, _ = predict(params, batch_stats, img)
+        pred = run(params, batch_stats, img)
         sync(pred)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        pred, _ = predict(params, batch_stats, img)
+        pred = run(params, batch_stats, img)
     sync(pred)
     dt = time.perf_counter() - t0
 
@@ -83,13 +110,97 @@ def bench_inference(
     return tiles / dt
 
 
+def bench_train(
+    architecture: str,
+    encoder: str,
+    *,
+    image_size: int,
+    batch_size: int,
+    iters: int = 10,
+    warmup: int = 3,
+    decoder_channels=(256, 128, 64, 32, 16),
+) -> float:
+    """Training-step throughput (tiles/s) at the production recipe: compound
+    GDICE+FOCAL+BOUNDARY loss, clipped Adam + cosine, BN updates."""
+    from deadtrees_tpu.models import create_model
+    from deadtrees_tpu.train import (
+        OptimizerConfig,
+        TrainState,
+        build_loss,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = create_model(
+        architecture, encoder, in_channels=4, classes=3,
+        decoder_channels=decoder_channels, dtype=jnp.bfloat16,
+    )
+    spec = jax.ShapeDtypeStruct((1, image_size, image_size, 4), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda xx: model.init(jax.random.PRNGKey(0), xx, train=True), spec
+    )
+    host_rng = np.random.default_rng(0)
+
+    def materialize(path, s):
+        name = jax.tree_util.keystr(path)
+        if "var" in name or "scale" in name:
+            return jnp.ones(s.shape, s.dtype)
+        if np.issubdtype(s.dtype, np.floating):
+            return jnp.asarray(host_rng.normal(0, 0.05, s.shape).astype(s.dtype))
+        return jnp.zeros(s.shape, s.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(materialize, shapes)
+    tx = make_optimizer(OptimizerConfig(steps_per_epoch=100))
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
+    )
+    loss = build_loss(["GDICE", "FOCAL", "BOUNDARY"], 3)
+    step = make_train_step(model, loss, num_classes=3)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            rng.normal(size=(batch_size, image_size, image_size, 4)).astype(
+                np.float32
+            )
+        ),
+        "mask": jnp.asarray(
+            rng.integers(0, 3, (batch_size, image_size, image_size)).astype(np.int32)
+        ),
+        "distmap": jnp.asarray(
+            rng.normal(size=(batch_size, image_size, image_size, 3)).astype(
+                np.float32
+            )
+        ),
+    }
+
+    def sync(s):
+        np.asarray(jax.tree_util.tree_leaves(s.params)[0]).ravel()[:1]
+
+    for _ in range(warmup):
+        state, _ = step(state, batch, jnp.int32(0))
+        sync(state)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _ = step(state, batch, jnp.int32(0))
+    sync(state)
+    dt = time.perf_counter() - t0
+    return iters * batch_size * (image_size / 512.0) ** 2 / dt
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--architecture", default="efficientunet++")
     ap.add_argument("--encoder", default="timm-efficientnet-b5")
     ap.add_argument("--image-size", type=int, default=512)
-    ap.add_argument("--batch-size", type=int, default=32)
-    ap.add_argument("--iters", type=int, default=20)
+    # bs sweep on v5e (16G HBM): 32→106, 64→213, 128→300 tiles/s; 256 OOMs
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument(
+        "--mode", choices=["infer", "train"], default="infer",
+        help="train mode benches the full training step at 256px (the "
+        "production tile size, protocol batch 32)",
+    )
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
@@ -104,23 +215,34 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    tiles_per_sec = bench_inference(
-        args.architecture,
-        args.encoder,
-        image_size=args.image_size,
-        batch_size=args.batch_size,
-        iters=args.iters,
-    )
+    if args.mode == "train":
+        if args.image_size == 512:  # default: train benches at tile size 256
+            args.image_size = 256
+            args.batch_size = min(args.batch_size, 64)
+        tiles_per_sec = bench_train(
+            args.architecture, args.encoder,
+            image_size=args.image_size, batch_size=args.batch_size,
+            iters=args.iters,
+        )
+        metric = "train_512px_tiles_per_sec_per_chip"
+    else:
+        tiles_per_sec = bench_inference(
+            args.architecture, args.encoder,
+            image_size=args.image_size, batch_size=args.batch_size,
+            iters=args.iters,
+        )
+        metric = "infer_512px_tiles_per_sec_per_chip"
 
     print(
-        f"bench: {args.architecture}/{args.encoder} {args.image_size}px "
-        f"bs={args.batch_size} on {platform}: {tiles_per_sec:.1f} tiles512/s",
+        f"bench[{args.mode}]: {args.architecture}/{args.encoder} "
+        f"{args.image_size}px bs={args.batch_size} on {platform}: "
+        f"{tiles_per_sec:.1f} tiles512/s",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": "infer_512px_tiles_per_sec_per_chip",
+                "metric": metric,
                 "value": round(tiles_per_sec, 2),
                 "unit": "tiles/s",
                 "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 4),

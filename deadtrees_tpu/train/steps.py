@@ -178,8 +178,13 @@ def make_eval_step(model, loss: CompoundLoss, *, num_classes: int):
     return eval_step
 
 
-def make_predict_step(model):
-    """Jitted inference: images -> (argmax classes, probabilities)."""
+def make_predict_step(model, *, return_probs: bool = True):
+    """Jitted inference: images -> argmax classes (+ probabilities).
+
+    ``return_probs=False`` skips materializing the softmax entirely
+    (argmax(logits) == argmax(softmax(logits))) — at 512² batch-128 the
+    probability tensor alone is ~400 MB of HBM writes per call.
+    """
 
     @jax.jit
     def predict_step(
@@ -191,4 +196,13 @@ def make_predict_step(model):
         probs = jax.nn.softmax(logits, axis=-1)
         return jnp.argmax(probs, axis=-1), probs
 
-    return predict_step
+    @jax.jit
+    def predict_step_classes(
+        params: Any, batch_stats: Any, img: jnp.ndarray
+    ) -> jnp.ndarray:
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, img, train=False
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+    return predict_step if return_probs else predict_step_classes
