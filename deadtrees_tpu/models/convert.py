@@ -106,6 +106,90 @@ def convert_resnet_encoder(
     return params, stats
 
 
+def convert_efficientnet_encoder(
+    sd: Dict[str, Any], width_mult: float, depth_mult: float
+) -> Tuple[Dict, Dict]:
+    """timm-style EfficientNet state dict → (params, batch_stats) for
+    :class:`EfficientNetEncoder`.
+
+    Expected key scheme (timm ``efficientnet_bN`` as used by smp's
+    timm-efficientnet encoders): ``conv_stem.weight``, ``bn1.*``, and
+    ``blocks.{stage}.{block}.`` with ``conv_pw/bn1, conv_dw/bn2,
+    se.conv_reduce/conv_expand, conv_pwl/bn3`` (expansion blocks) or
+    ``conv_dw/bn1, se.*, conv_pw/bn2`` (the stride-1 expand-ratio-1
+    stage-1 blocks). Accepts optional ``model.encoder.``/``encoder.``
+    prefixes from Lightning checkpoints.
+    """
+    from deadtrees_tpu.models.encoders import (
+        _EFFNET_BASE,
+        _round_channels,
+        _round_repeats,
+    )
+
+    keys = list(sd.keys())
+    for p in ("model.encoder.", "encoder.", ""):
+        if any(k.startswith(p + "conv_stem.weight") for k in keys):
+            sd = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+            break
+
+    params: Dict[str, Any] = {
+        "Conv_0": {"kernel": t2j_conv(sd["conv_stem.weight"])}
+    }
+    stats: Dict[str, Any] = {}
+    params["BatchNorm_0"], stats["BatchNorm_0"] = convert_bn("bn1", sd)
+
+    mb_idx = 0
+    for stage_idx, (t, c, n, s, k) in enumerate(_EFFNET_BASE):
+        repeats = _round_repeats(n, depth_mult)
+        for b in range(repeats):
+            tp = f"blocks.{stage_idx}.{b}"
+            name = f"MBConv_{mb_idx}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            conv_i = 0
+            bn_i = 0
+            if t != 1:  # expansion pointwise
+                bp[f"Conv_{conv_i}"] = {"kernel": t2j_conv(sd[f"{tp}.conv_pw.weight"])}
+                conv_i += 1
+                bp[f"BatchNorm_{bn_i}"], bs[f"BatchNorm_{bn_i}"] = convert_bn(
+                    f"{tp}.bn1", sd
+                )
+                bn_i += 1
+                dw_key, dw_bn = f"{tp}.conv_dw", f"{tp}.bn2"
+                pw_key, pw_bn = f"{tp}.conv_pwl", f"{tp}.bn3"
+            else:  # DepthwiseSeparable block (stage 1)
+                dw_key, dw_bn = f"{tp}.conv_dw", f"{tp}.bn1"
+                pw_key, pw_bn = f"{tp}.conv_pw", f"{tp}.bn2"
+
+            bp[f"Conv_{conv_i}"] = {
+                "kernel": t2j_depthwise_conv(sd[f"{dw_key}.weight"])
+            }
+            conv_i += 1
+            bp[f"BatchNorm_{bn_i}"], bs[f"BatchNorm_{bn_i}"] = convert_bn(dw_bn, sd)
+            bn_i += 1
+
+            # SE: conv_reduce / conv_expand (1x1 convs with bias)
+            bp[f"Conv_{conv_i}"] = {
+                "kernel": t2j_conv(sd[f"{tp}.se.conv_reduce.weight"]),
+                "bias": np.asarray(sd[f"{tp}.se.conv_reduce.bias"]),
+            }
+            conv_i += 1
+            bp[f"Conv_{conv_i}"] = {
+                "kernel": t2j_conv(sd[f"{tp}.se.conv_expand.weight"]),
+                "bias": np.asarray(sd[f"{tp}.se.conv_expand.bias"]),
+            }
+            conv_i += 1
+
+            bp[f"Conv_{conv_i}"] = {"kernel": t2j_conv(sd[f"{pw_key}.weight"])}
+            bp[f"BatchNorm_{bn_i}"], bs[f"BatchNorm_{bn_i}"] = convert_bn(pw_bn, sd)
+
+            params[name] = bp
+            stats[name] = bs
+            mb_idx += 1
+
+    return params, stats
+
+
 def _flatten_with_path(tree: Dict, path=()) -> List[Tuple[Tuple, Any]]:
     out = []
     for k in sorted(tree.keys()):

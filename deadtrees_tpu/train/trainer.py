@@ -241,6 +241,16 @@ class Trainer:
         self.es_monitor = es.get("monitor", "val/dice")
         self.es_mode = es.get("mode", "max")
 
+        # SWA (reference recipe protocol.md:28 / Lightning
+        # stochastic_weight_avg): average params from swa_epoch_start on,
+        # recalibrate BN at the end, save swa.ckpt alongside best/last
+        swa = cb.get("swa")
+        self.swa_start: Optional[int] = (
+            int(swa.get("swa_epoch_start", 0)) if swa else None
+        )
+        self._swa_params = None
+        self._swa_count = 0
+
         lg = cfg.get("logger") or {}
         self.metrics = MetricsLogger(
             self.work_dir / lg.get("save_dir", "logs/metrics"),
@@ -428,7 +438,9 @@ class Trainer:
                     f"({n_steps} steps, {dt:.1f}s)"
                 )
 
-                monitored = val.get(self.es_monitor.replace("val/", "val/"), None)
+                if self.swa_start is not None and epoch >= self.swa_start:
+                    self._update_swa()
+
                 monitored = val.get(self.es_monitor, None)
                 if monitored is not None:
                     improved = self.keeper.is_improvement(monitored)
@@ -452,8 +464,63 @@ class Trainer:
         if self.keeper.best_path:
             log.info(f"Best checkpoint path:\n{self.keeper.best_path}")
             result["best_ckpt"] = str(self.keeper.best_path)
+        if self._swa_params is not None:
+            swa_path = self._finalize_swa()
+            if swa_path:
+                result["swa_ckpt"] = str(swa_path)
         self.metrics.finish()
         return result
+
+    # -- SWA ----------------------------------------------------------------
+    def _update_swa(self) -> None:
+        n = self._swa_count
+        if self._swa_params is None:
+            # deep copy: the train step DONATES state buffers, so references
+            # into state.params would be invalidated next epoch
+            self._swa_params = jax.tree_util.tree_map(
+                jnp.copy, self.state.params
+            )
+        else:
+            self._swa_params = jax.tree_util.tree_map(
+                lambda avg, p: avg + (p - avg) / (n + 1),
+                self._swa_params,
+                self.state.params,
+            )
+        self._swa_count = n + 1
+
+    def _finalize_swa(self):
+        """Recalibrate BN running stats under the averaged params with a
+        few train batches, then save swa.ckpt."""
+        log.info(f"SWA: averaged {self._swa_count} epochs; recalibrating BN")
+        model = self.model
+        bn_state = jax.tree_util.tree_map(jnp.zeros_like, self.state.batch_stats)
+
+        @jax.jit
+        def bn_pass(params, batch_stats, img):
+            _, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                img, train=True, mutable=["batch_stats"],
+            )
+            return mut["batch_stats"]
+
+        batch_stats = self.state.batch_stats
+        seen = 0
+        for batch in self.datamodule.train_batches(jax.random.PRNGKey(0)):
+            batch_stats = bn_pass(self._swa_params, batch_stats, batch["image"])
+            seen += 1
+            if seen >= 10:
+                break
+        del bn_state
+        path = self.keeper.directory / "swa.ckpt"
+        save_checkpoint(
+            path,
+            params=self._swa_params,
+            batch_stats=batch_stats,
+            hparams=self.hparams,
+            step=int(self.state.step),
+            epoch=-1,
+        )
+        return path
 
     def _ckpt_saver(self, epoch: int):
         def save(path):

@@ -1,0 +1,108 @@
+"""Trainer runtime tests: fit loop artifacts, multistage stages, SWA,
+resume — the Lightning Trainer + callbacks surface
+(reference train.py:27-139, callbacks/).
+"""
+
+import io
+import tarfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from deadtrees_tpu.train.trainer import Trainer, train
+from tests.test_data import _write_shard
+
+
+@pytest.fixture
+def dataset(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    for i in range(5):
+        _write_shard(d / f"train-combo-{i:06d}.tar", 8, seed=i)
+    return d
+
+
+def _config(dataset, workdir, **over):
+    cfg = {
+        "data_dir": str(dataset),
+        "seed": 1,
+        "datamodule": {"pattern": "train-combo-*.tar", "batch_size": 4,
+                       "num_workers": 1},
+        "model": {
+            "network": {
+                "architecture": "unet",
+                "encoder_name": "resnet18",
+                "decoder_channels": [16, 16, 8, 8, 8],
+                "classes": ["background", "conifers", "deciduous"],
+                "in_channels": 4,
+                "losses": ["GDICE", "FOCAL", "BOUNDARY"],
+            },
+            "training": {"learning_rate": 0.001, "cosineannealing_tmax": 10},
+        },
+        "trainer": {
+            "max_epochs": 2,
+            "min_epochs": 1,
+            "precision": "f32",
+            "limit_train_batches": 2,
+            "limit_val_batches": 1,
+            "devices": 1,
+        },
+        "callbacks": {
+            "model_checkpoint": {"monitor": "val/dice", "mode": "max",
+                                 "dirpath": "checkpoints/"},
+            "early_stopping": {"monitor": "val/dice", "patience": 200},
+        },
+        "logger": {"kind": "csv", "save_dir": "metrics"},
+    }
+    cfg.update(over)
+    return cfg
+
+
+def test_fit_produces_artifacts(dataset, tmp_path):
+    work = tmp_path / "run"
+    work.mkdir()
+    trainer = Trainer(_config(dataset, work), work_dir=work)
+    result = trainer.fit()
+
+    assert "val/dice" in result and 0 <= result["val/dice"] <= 1
+    assert (work / "checkpoints" / "last.ckpt").exists()
+    assert result["best_ckpt"]
+    assert (work / "metrics" / "metrics.csv").exists()
+    assert (work / "train_stats.csv").exists()
+    # per-file sample counters recorded real shard keys
+    stats = (work / "train_stats.csv").read_text()
+    assert "tile_" in stats
+
+
+def test_fit_with_multistage_and_swa(dataset, tmp_path):
+    work = tmp_path / "run2"
+    work.mkdir()
+    cfg = _config(dataset, work)
+    cfg["trainer"]["max_epochs"] = 3
+    cfg["callbacks"]["multistage"] = {
+        "unfreeze_epoch": 1, "lr_reduce_epoch": 2, "lr_reduce_fraction": 3,
+    }
+    cfg["callbacks"]["swa"] = {"swa_epoch_start": 1}
+    trainer = Trainer(cfg, work_dir=work)
+    result = trainer.fit()
+
+    assert trainer._swa_count == 2  # epochs 1, 2
+    assert "swa_ckpt" in result and Path(result["swa_ckpt"]).exists()
+
+    # SWA checkpoint loads as a normal inference checkpoint
+    from deadtrees_tpu.infer import JaxInference
+
+    eng = JaxInference(result["swa_ckpt"])
+    out = eng.run(np.zeros((1, 32, 32, 4), np.uint8))
+    assert out.shape == (1, 32, 32)
+
+
+def test_train_entry_returns_optimized_metric(dataset, tmp_path):
+    work = tmp_path / "run3"
+    work.mkdir()
+    cfg = _config(dataset, work)
+    cfg["optimized_metric"] = "val/dice"
+    cfg["test_after_training"] = False
+    value = train(cfg, work_dir=work)
+    assert isinstance(value, float) and 0 <= value <= 1
