@@ -39,12 +39,26 @@ def make_scene_predictor(
     batch_size: int = 64,
     mean: Sequence[float] = DATASET_CONFIG.mean,
     std: Sequence[float] = DATASET_CONFIG.std,
+    mesh=None,
 ) -> Callable:
     """Build ``predict(params, batch_stats, scene_u8, valid) -> class map``.
 
     One compile per distinct padded scene shape; scenes padded by the Tiler
     to a fixed ``tile_shape`` hit the cache every time.
+
+    ``mesh``: a :class:`jax.sharding.Mesh` with a ``data`` axis enables
+    spatial parallelism — the subtile batch inside each chunk is sharded
+    across chips (the reference's SP analogue, SURVEY.md §5.7: independent
+    Tiler subtiles fan out across devices; XLA partitions the whole scene
+    program, no host round-trips).
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        chunk_sharding = NamedSharding(mesh, P(None, "data"))
+        out_sharding = NamedSharding(mesh, P())
+    else:
+        chunk_sharding = out_sharding = None
 
     @partial(jax.jit, static_argnames=())
     def predict(params, batch_stats, scene_u8, valid):
@@ -57,6 +71,8 @@ def make_scene_predictor(
         pad = (-n) % batch_size
         blocks = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0), (0, 0)))
         chunks = blocks.reshape(-1, batch_size, subtile, subtile, c)
+        if chunk_sharding is not None:
+            chunks = jax.lax.with_sharding_constraint(chunks, chunk_sharding)
 
         def run_chunk(chunk):
             img = normalize(chunk.astype(jnp.float32), m, s)
@@ -68,7 +84,10 @@ def make_scene_predictor(
         preds = jax.lax.map(run_chunk, chunks)  # (n_chunks, bs, d, d)
         preds = preds.reshape(-1, subtile, subtile)[:n]
         preds = preds * valid[:, None, None].astype(jnp.uint8)
-        return unmake_blocks_nhwc(preds, th, tw)
+        out = unmake_blocks_nhwc(preds, th, tw)
+        if out_sharding is not None:
+            out = jax.lax.with_sharding_constraint(out, out_sharding)
+        return out
 
     return predict
 

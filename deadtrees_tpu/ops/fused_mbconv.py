@@ -1,0 +1,326 @@
+"""Fused Pallas inverted-residual block (the EfficientUnet++ decoder hot op).
+
+Profiling the flagship forward (PERF.md) shows 33% of device time in XLA
+layout copies and 17% in SE-pooling convert+reduce fusions — both artifacts
+of running the decoder's InvertedResidual (blocks.py:InvertedResidual,
+reference efficientunetplusplus/decoder.py:9-60) as ~12 separate ops at
+16-256 channels. This op runs the whole block in two Pallas passes:
+
+  pass 1 (grid B×H-tiles): y = hswish(x·W1 + b1)           [1×1, BN folded]
+                           h = hswish(dw3×3(y) + b2)       [BN folded]
+                           partial per-channel sums of h   [for cSE pooling]
+  (XLA, tiny):             gate = σ(cse2(relu(cse1(mean h)))) per (B, C)
+  pass 2 (grid B×H-tiles): scse = h·gate + h·σ(h·Wsse + bsse)
+                           out  = scse·W2 + b2  (+ skip path x·Wsk + bsk)
+
+HBM traffic: read x, write h, read h (+x for the skip), write out — ~5
+array passes instead of XLA's 12+ with inter-op layout copies. BatchNorms
+are folded into the adjacent convs on host (inference only; training keeps
+the flax path). Exact semantics parity with the flax block is enforced by
+tests/test_fused_mbconv.py.
+
+Production decoder config has expansion_ratio=1 and squeeze_ratio=1
+(reference configs/model/default.yaml + decoder defaults), which this
+kernel assumes: mid == in channels, cSE hidden == mid.
+
+STATUS: numerics verified (interpret mode, tests/test_fused_mbconv.py);
+Mosaic cannot yet lower the halo DMA on TPU — the C=16 NHWC HBM buffer is
+(1,128)-lane-tiled (i.e., physically padded 8×!), and `tpu.memref_slice`
+refuses a 16-lane slice of a 128-lane-tiled memref. The discovery that
+small-channel NHWC activations are lane-padded 8× in HBM explains the 33%
+copy overhead in the profile (PERF.md) and sets the round-2 design: decoder
+kernels with W in lanes / C in sublanes, which sidesteps the padding
+entirely. Until then the flax path remains the production decoder.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class FoldedBlockParams(NamedTuple):
+    """BN-folded weights of one InvertedResidual (inference)."""
+
+    w1: jnp.ndarray  # (C_in, C_mid) expand pointwise (folded bn)
+    b1: jnp.ndarray  # (C_mid,)
+    dw: jnp.ndarray  # (3, 3, C_mid) depthwise (folded bn)
+    b_dw: jnp.ndarray  # (C_mid,)
+    cse_w1: jnp.ndarray  # (C_mid, C_se)
+    cse_b1: jnp.ndarray  # (C_se,)
+    cse_w2: jnp.ndarray  # (C_se, C_mid)
+    cse_b2: jnp.ndarray  # (C_mid,)
+    sse_w: jnp.ndarray  # (C_mid, 1)
+    sse_b: jnp.ndarray  # (1,)
+    w2: jnp.ndarray  # (C_mid, C_out) project pointwise (folded bn)
+    b2: jnp.ndarray  # (C_out,)
+    wsk: Optional[jnp.ndarray]  # (C_in, C_out) skip conv (folded bn) or None
+    bsk: Optional[jnp.ndarray]
+
+
+def fold_bn_into_conv(
+    kernel, bn_scale, bn_bias, bn_mean, bn_var, conv_bias=None, eps=1e-5
+):
+    """BN(conv(x) + b0) == conv'(x) + b': scale kernel out-channels,
+    b' = (b0 - mean)·s + bias."""
+    s = np.asarray(bn_scale) / np.sqrt(np.asarray(bn_var) + eps)
+    k = np.asarray(kernel) * s  # broadcast over last (out) axis
+    b0 = np.asarray(conv_bias) if conv_bias is not None else 0.0
+    b = (b0 - np.asarray(bn_mean)) * s + np.asarray(bn_bias)
+    return k, b
+
+
+def fold_inverted_residual(params: Dict, batch_stats: Dict) -> FoldedBlockParams:
+    """Fold one flax InvertedResidual's variables (blocks.py naming:
+    Conv_0 expand, Conv_1 depthwise, SCSEModule_0{SEModule_0, SSEModule_0},
+    Conv_2 project, [Conv_3 skip], BatchNorm_0..2[3])."""
+    p, bs = params, batch_stats
+
+    def bn(i):
+        return (
+            p[f"BatchNorm_{i}"]["scale"],
+            p[f"BatchNorm_{i}"]["bias"],
+            bs[f"BatchNorm_{i}"]["mean"],
+            bs[f"BatchNorm_{i}"]["var"],
+        )
+
+    w1_k, b1 = fold_bn_into_conv(
+        p["Conv_0"]["kernel"], *bn(0), conv_bias=p["Conv_0"].get("bias")
+    )
+    w1 = w1_k[0, 0]  # (1,1,Cin,Cmid) -> (Cin, Cmid)
+
+    dw_k, b_dw = fold_bn_into_conv(
+        p["Conv_1"]["kernel"], *bn(1), conv_bias=p["Conv_1"].get("bias")
+    )
+    dw = dw_k[:, :, 0, :]  # (3,3,1,Cmid) -> (3,3,Cmid)
+
+    se = p["SCSEModule_0"]
+    cse_w1 = se["SEModule_0"]["Conv_0"]["kernel"][0, 0]
+    cse_b1 = se["SEModule_0"]["Conv_0"]["bias"]
+    cse_w2 = se["SEModule_0"]["Conv_1"]["kernel"][0, 0]
+    cse_b2 = se["SEModule_0"]["Conv_1"]["bias"]
+    sse_w = se["SSEModule_0"]["Conv_0"]["kernel"][0, 0]
+    sse_b = se["SSEModule_0"]["Conv_0"]["bias"]
+
+    w2_k, b2 = fold_bn_into_conv(
+        p["Conv_2"]["kernel"], *bn(2), conv_bias=p["Conv_2"].get("bias")
+    )
+    w2 = w2_k[0, 0]
+
+    wsk = bsk = None
+    if "Conv_3" in p:
+        wsk_k, bsk = fold_bn_into_conv(
+            p["Conv_3"]["kernel"], *bn(3), conv_bias=p["Conv_3"].get("bias")
+        )
+        wsk = wsk_k[0, 0]
+
+    to_j = lambda a: jnp.asarray(np.asarray(a), jnp.float32)  # noqa: E731
+    return FoldedBlockParams(
+        w1=to_j(w1), b1=to_j(b1), dw=to_j(dw), b_dw=to_j(b_dw),
+        cse_w1=to_j(cse_w1), cse_b1=to_j(cse_b1),
+        cse_w2=to_j(cse_w2), cse_b2=to_j(cse_b2),
+        sse_w=to_j(sse_w), sse_b=to_j(sse_b),
+        w2=to_j(w2), b2=to_j(b2),
+        wsk=None if wsk is None else to_j(wsk),
+        bsk=None if bsk is None else to_j(bsk),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pass 1: expand + depthwise + hswish, partial channel sums
+# ---------------------------------------------------------------------------
+
+
+def _pass1_kernel(
+    x_hbm, w1_ref, b1_ref, dw_ref, bdw_ref, h_ref, psum_ref, x_vmem, sem
+):
+    """x stays in HBM; each program DMAs its TH+2-row halo window into VMEM
+    (the standard Pallas halo pattern — BlockSpecs tile disjointly and
+    can't overlap), then computes expand → dw3×3 → hswish and the partial
+    channel sums for the cSE pooling."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    th = h_ref.shape[1]
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * th, th + 2)], x_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+
+    x = x_vmem[...].astype(jnp.float32)  # (TH+2, W, Cin)
+    w = x.shape[1]
+    c = w1_ref.shape[1]
+
+    # 1x1 expand + hswish on the full haloed tile
+    y = jax.nn.hard_swish(
+        jax.lax.dot_general(
+            x, w1_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1_ref[...]
+    )  # (TH+2, W, C)
+
+    # the dw conv's zero padding applies to Y, not X: halo rows beyond the
+    # real image would otherwise carry hswish(b1) from the zero-padded x
+    total_h = th * pl.num_programs(1)
+    grow = i * th - 1 + jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+    y = jnp.where((grow >= 0) & (grow < total_h), y, 0.0)
+
+    # depthwise 3x3; W zero-padded at the edges (H halo handled by the DMA)
+    yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0)))
+    acc = jnp.zeros((th, w, c), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + yp[dy : dy + th, dx : dx + w, :] * dw_ref[dy, dx, :]
+    h = jax.nn.hard_swish(acc + bdw_ref[...])
+
+    h_ref[0] = h
+    # psum block is (1, 1, 8, C) to satisfy TPU (8, 128) tiling of the last
+    # two dims; only sublane row 0 carries the sums
+    sums = jnp.sum(h, axis=(0, 1))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, sums.shape[0]), 0)
+    psum_ref[0, 0] = jnp.where(rows == 0, sums[None, :], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# pass 2: SCSE gates + project + residual
+# ---------------------------------------------------------------------------
+
+
+def _pass2_kernel(
+    h_ref, x_ref, gate_ref, sse_w_ref, sse_b_ref, w2_ref, b2_ref,
+    wsk_ref, bsk_ref, out_ref,
+):
+    h = h_ref[0].astype(jnp.float32)  # (TH, W, C)
+    b = pl.program_id(0)
+
+    # sSE: per-pixel sigmoid(h @ sse_w + b), (TH, W, 1)
+    sse = jax.nn.sigmoid(
+        jax.lax.dot_general(
+            h, sse_w_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + sse_b_ref[...]
+    )
+    scse = h * gate_ref[b] + h * sse  # cSE gate per (B, C) + sSE
+
+    out = (
+        jax.lax.dot_general(
+            scse, w2_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b2_ref[...]
+    )
+    x = x_ref[0].astype(jnp.float32)
+    skip = (
+        jax.lax.dot_general(
+            x, wsk_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bsk_ref[...]
+    )
+    out_ref[0] = (out + skip).astype(out_ref.dtype)
+
+
+def _pick_tile(h: int) -> int:
+    for t in (64, 32, 16, 8, 4, 2, 1):
+        if h % t == 0:
+            return t
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_inverted_residual(
+    x: jnp.ndarray,  # (B, H, W, C_in)
+    fp: FoldedBlockParams,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Inference forward of one InvertedResidual via two fused passes.
+
+    Matches ``blocks.InvertedResidual`` with train=False (BNs folded),
+    expansion_ratio=1, squeeze_ratio=1.
+    """
+    bsz, hh, ww, cin = x.shape
+    cmid = fp.w1.shape[1]
+    cout = fp.w2.shape[1]
+    th = _pick_tile(hh)
+    n_tiles = hh // th
+
+    same = fp.wsk is None
+    wsk = fp.wsk if not same else jnp.eye(cin, cout, dtype=jnp.float32)
+    bsk = fp.bsk if not same else jnp.zeros((cout,), jnp.float32)
+
+    # halo pad H by 1 on both sides (dw conv reads one row beyond each tile)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+    h, psums = pl.pallas_call(
+        _pass1_kernel,
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full x in HBM, DMA'd
+            pl.BlockSpec((cin, cmid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmid,), lambda b, i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cmid), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmid,), lambda b, i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, th, ww, cmid), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 8, cmid), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, hh, ww, cmid), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_tiles, 8, cmid), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, ww, cin), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, fp.w1, fp.b1, fp.dw, fp.b_dw)
+
+    # cSE gate: tiny per-(B, C) math in XLA
+    pooled = jnp.sum(psums, axis=(1, 2)) / (hh * ww)  # (B, C)
+    z = jnp.maximum(pooled @ fp.cse_w1 + fp.cse_b1, 0.0)
+    gate = jax.nn.sigmoid(z @ fp.cse_w2 + fp.cse_b2)  # (B, C)
+
+    out = pl.pallas_call(
+        _pass2_kernel,
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, th, ww, cmid), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, ww, cin), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, cmid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmid, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda b, i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmid, cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout,), lambda b, i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout,), lambda b, i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, ww, cout), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hh, ww, cout), x.dtype),
+        interpret=interpret,
+    )(h, x, gate, fp.sse_w, fp.sse_b, fp.w2, fp.b2, wsk, bsk)
+    return out
