@@ -172,3 +172,21 @@ def test_data_parallel_step_matches_single_device(setup):
         float(m_single["total_loss"]), float(m_sharded["total_loss"]), rtol=1e-2
     )
     assert np.allclose(float(m_single["dice"]), float(m_sharded["dice"]), rtol=1e-2)
+
+
+def test_gwdice_loss_config(setup):
+    """GWDICE path: logits + integer targets (segmodel.py:176-178 hack)."""
+    model, state, _, batch = setup
+    gw_loss = build_loss(["GWDICE", "FOCAL"], NUM_CLASSES)
+    step = make_train_step(model, gw_loss, num_classes=NUM_CLASSES)
+    new_state, metrics = step(state, batch, jnp.int32(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert "dice_loss" in metrics and "focal_loss" in metrics
+    assert int(new_state.step) == 1
+
+
+def test_dice_and_gdice_mutually_exclusive():
+    with pytest.raises(AssertionError):
+        build_loss(["GDICE", "DICE"], NUM_CLASSES)
+    with pytest.raises(AssertionError):
+        build_loss(["FOCAL"], NUM_CLASSES)  # dice-family term required

@@ -106,3 +106,18 @@ def test_train_entry_returns_optimized_metric(dataset, tmp_path):
     cfg["test_after_training"] = False
     value = train(cfg, work_dir=work)
     assert isinstance(value, float) and 0 <= value <= 1
+
+
+def test_eval_test_loop_from_checkpoint(dataset, tmp_path):
+    """trainer.test(ckpt_path=...) — the eval.py path (eval.py:117-119)."""
+    work = tmp_path / "run4"
+    work.mkdir()
+    cfg = _config(dataset, work)
+    trainer = Trainer(cfg, work_dir=work)
+    result = trainer.fit()
+
+    trainer2 = Trainer(cfg, work_dir=work)
+    trainer2._build()
+    metrics = trainer2.test(ckpt_path=result["best_ckpt"])
+    assert "test/dice" in metrics
+    assert 0 <= metrics["test/dice"] <= 1
