@@ -131,11 +131,14 @@ def augment_batch(
     if use_pallas:
         from deadtrees_tpu.ops.augment_pallas import augment_pallas
 
+        # geometry in XLA (pure layout ops; Mosaic has no `rev`), fused
+        # color-jitter + normalize in one Pallas VMEM pass
         interp = jax.devices()[0].platform != "tpu"
+        img_geo = _apply_dihedral(
+            image_u8, params["flip_h"], params["flip_v"], params["rot_k"]
+        )
         img_norm = augment_pallas(
-            image_u8,
-            params["flip_h"], params["flip_v"], params["rot_k"],
-            params["alpha"], params["beta"],
+            img_geo, params["alpha"], params["beta"],
             mean=mean, std=std, interpret=interp,
         )
         out = {"image": img_norm}
