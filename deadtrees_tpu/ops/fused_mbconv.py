@@ -23,14 +23,22 @@ Production decoder config has expansion_ratio=1 and squeeze_ratio=1
 (reference configs/model/default.yaml + decoder defaults), which this
 kernel assumes: mid == in channels, cSE hidden == mid.
 
-STATUS: numerics verified (interpret mode, tests/test_fused_mbconv.py);
-Mosaic cannot yet lower the halo DMA on TPU — the C=16 NHWC HBM buffer is
-(1,128)-lane-tiled (i.e., physically padded 8×!), and `tpu.memref_slice`
-refuses a 16-lane slice of a 128-lane-tiled memref. The discovery that
-small-channel NHWC activations are lane-padded 8× in HBM explains the 33%
-copy overhead in the profile (PERF.md) and sets the round-2 design: decoder
-kernels with W in lanes / C in sublanes, which sidesteps the padding
-entirely. Until then the flax path remains the production decoder.
+STATUS:
+- NHWC variant (`fused_inverted_residual`): interpret-verified only; its
+  halo DMA cannot lower (Mosaic refuses 16-lane slices of 128-lane-tiled
+  memrefs, and every `make_async_copy` from HBM crashes this attachment's
+  remote compiler). Kept as the readable reference implementation.
+- CHW variant (`fused_inverted_residual_chw`): RUNS ON TPU — W in lanes
+  (lane-dense), halo via overlapping `pl.Element` windows, biases pre-shaped
+  (C,1,1) (Mosaic can't lower 1D→3D expands), f32 or bf16 (window rows
+  respect the dtype's sublane tile). Measured 4.0×/3.1×/1.3× over the
+  isolated XLA block at 512²C16 / 256²C32 / 128²C64 (bs 32, v5e), exact
+  argmax parity on the full flagship. End-to-end the fused decoder
+  (ops/fused_decoder.py) is still 0.76× vs the flax model — NHWC↔CHW
+  transposes, per-block h materialization, and XLA's cross-block fusion
+  eat the win. Round-2 plan: whole-decoder CHW residency, fuse
+  upsample+concat into pass 1, chain pass2(k)+pass1(k+1) to skip the h
+  round trip. Until then the flax path remains the production decoder.
 """
 
 from __future__ import annotations
@@ -130,6 +138,202 @@ def fold_inverted_residual(params: Dict, batch_stats: Dict) -> FoldedBlockParams
         wsk=None if wsk is None else to_j(wsk),
         bsk=None if bsk is None else to_j(bsk),
     )
+
+
+# ---------------------------------------------------------------------------
+# CHW (W-in-lanes) TPU kernel — the production fused path
+# ---------------------------------------------------------------------------
+# NHWC blocks with C=16 are lane-padded 8-32x in VMEM/HBM; with W in lanes
+# (C, H, W) the buffers are lane-dense. Overlapping halo windows come from
+# pl.Element block dims (verified lowering on v5e), so no manual DMA.
+
+
+def _chw_pass1_kernel(
+    x_ref, w1t_ref, b1_ref, dw_ref, bdw_ref, h_ref, psum_ref
+):
+    """x window (1, Cin, TH+P, W) Element-indexed from the H-padded array
+    (P = 8 for f32, 16 for bf16 — window rows must respect the dtype's
+    sublane tile); emits h (1, Cm, TH, W) and cSE partial sums (1, 1, Cm, 8).
+
+    All per-channel vectors arrive pre-shaped (C, 1, 1): Mosaic cannot
+    lower 1D->3D None-index expansions ("unsupported shape cast"), but
+    broadcasting a (C, 1, 1) ref and leading-dim indexing both work."""
+    i = pl.program_id(1)
+    cm = h_ref.shape[1]
+    th = h_ref.shape[2]
+    w = h_ref.shape[3]
+
+    x = x_ref[0].astype(jnp.float32)  # (Cin, TH+8, W)
+
+    # 1x1 expand: (Cm, Cin) · (Cin, R, W) -> (Cm, R, W), + bias, hswish
+    y = jax.lax.dot_general(
+        w1t_ref[...], x,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = jax.nn.hard_swish(y + b1_ref[...])
+
+    # zero rows outside the real image (window row j = original i*TH + j - 1;
+    # the dw conv's zero padding applies to y, not x)
+    total_h = th * pl.num_programs(1)
+    grow = i * th - 1 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, y.shape[1], 1), 1
+    )
+    y = jnp.where((grow >= 0) & (grow < total_h), y, 0.0)
+
+    # depthwise 3x3: row shifts are window slices; W shifts are lane rolls
+    # with the wrapped column zero-masked
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+
+    def shift_w(t, dx):  # dx in {-1, 0, 1}: value at w+dx
+        if dx == 0:
+            return t
+        # pltpu.roll requires non-negative shifts; (-dx) % w is equivalent
+        r = pltpu.roll(t, (-dx) % w, axis=2)
+        if dx == 1:
+            return jnp.where(col < w - 1, r, 0.0)
+        return jnp.where(col > 0, r, 0.0)
+
+    acc = jnp.zeros((cm, th, w), jnp.float32)
+    for dy in range(3):
+        ys = y[:, dy : dy + th, :]
+        for dx in range(3):
+            acc = acc + shift_w(ys, dx - 1) * dw_ref[dy, dx]  # (Cm,1,1)
+    h = jax.nn.hard_swish(acc + bdw_ref[...])
+
+    h_ref[0] = h.astype(h_ref.dtype)
+    s2 = jnp.sum(jnp.sum(h, axis=2), axis=1, keepdims=True)  # (Cm, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cm, 8), 1)
+    psum_ref[0, 0] = jnp.where(cols == 0, s2, 0.0)
+
+
+def _chw_pass2_kernel(
+    h_ref, x_ref, gate_ref, ssew_ref, sseb_ref, w2t_ref, b2_ref,
+    wskt_ref, bsk_ref, out_ref,
+):
+    b = pl.program_id(0)
+    h = h_ref[0].astype(jnp.float32)  # (Cm, TH, W)
+
+    # sSE: (1, Cm) · (Cm, TH, W) -> (1, TH, W)
+    s = jax.nn.sigmoid(
+        jax.lax.dot_general(
+            ssew_ref[...], h,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + sseb_ref[0, 0]
+    )
+    scse = h * gate_ref[b] + h * s  # gate (B, Cm, 1, 1), dynamic lead idx
+
+    out = jax.lax.dot_general(
+        w2t_ref[...], scse,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...]
+
+    x = x_ref[0].astype(jnp.float32)
+    out = out + jax.lax.dot_general(
+        wskt_ref[...], x,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bsk_ref[...]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_inverted_residual_chw(
+    x_chw: jnp.ndarray,  # (B, C_in, H, W) — W in lanes
+    fp: FoldedBlockParams,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """TPU-lowerable fused InvertedResidual on CHW tensors.
+
+    Same math as :func:`fused_inverted_residual`, in the lane-dense layout.
+    Returns (B, C_out, H, W).
+    """
+    bsz, cin, hh, ww = x_chw.shape
+    cmid = fp.w1.shape[1]
+    cout = fp.w2.shape[1]
+    pad = 16 if x_chw.dtype == jnp.bfloat16 else 8
+    th = pick_tile_chw(hh, ww, cin, cmid, pad)
+    if th is None:
+        raise ValueError(
+            f"no VMEM-feasible tile for shape C={cin}->{cmid} H={hh} W={ww}"
+        )
+    n_tiles = hh // th
+
+    w1t = fp.w1.T  # (Cm, Cin)
+    w2t = fp.w2.T  # (Cout, Cm)
+    ssewt = fp.sse_w.T  # (1, Cm)
+    same = fp.wsk is None
+    wskt = (fp.wsk.T if not same else jnp.eye(cout, cin, dtype=jnp.float32))
+    bsk = fp.bsk if not same else jnp.zeros((cout,), jnp.float32)
+
+    # pad H: 1 top (halo), pad-1 bottom (halo + window tile alignment)
+    xp = jnp.pad(x_chw, ((0, 0), (0, 0), (1, pad - 1), (0, 0)))
+
+    as_c11 = lambda v: v.reshape(-1, 1, 1)  # noqa: E731  (C, 1, 1) biases
+
+    h, psums = pl.pallas_call(
+        _chw_pass1_kernel,
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(cin), pl.Element(th + pad),
+                 pl.Element(ww)),
+                lambda b, i: (b, 0, i * th, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1t
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1 (1, Cm)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dw (3, 3, Cm)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bdw (1, Cm)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cmid, th, ww), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cmid, 8), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, cmid, hh, ww), x_chw.dtype),
+            jax.ShapeDtypeStruct((bsz, n_tiles, cmid, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, w1t, as_c11(fp.b1), fp.dw.reshape(3, 3, cmid, 1, 1), as_c11(fp.b_dw))
+
+    pooled = jnp.sum(psums, axis=(1, 3)) / (hh * ww)  # (B, Cm)
+    z = jnp.maximum(pooled @ fp.cse_w1 + fp.cse_b1, 0.0)
+    gate = jax.nn.sigmoid(z @ fp.cse_w2 + fp.cse_b2)  # (B, Cm)
+
+    out = pl.pallas_call(
+        _chw_pass2_kernel,
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, cmid, th, ww), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin, th, ww), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gate (B, Cm)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ssewt (1, Cm)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sse_b (1, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2t
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2 (1, Cout)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wskt
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bsk (1, Cout)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, th, ww), lambda b, i: (b, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, cout, hh, ww), x_chw.dtype),
+        interpret=interpret,
+    )(
+        h, x_chw, gate.reshape(bsz, cmid, 1, 1), ssewt,
+        fp.sse_b.reshape(1, 1), w2t, as_c11(fp.b2), wskt, as_c11(bsk),
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +442,24 @@ def _pick_tile(h: int) -> int:
         if h % t == 0:
             return t
     return 1
+
+
+def pick_tile_chw(hh: int, ww: int, cin: int, cmid: int, pad: int = 8):
+    """Largest feasible H-tile for the CHW kernel: the Mosaic VMEM stack
+    holds x window + y + masked copy + ~9 dw shift temps + h, mostly f32 at
+    W lanes; keep the estimate under ~13 MB of the 16 MB scoped limit.
+    ``pad`` is the halo window surplus (8 for f32, 16 for bf16 — window
+    rows must be a multiple of the dtype's sublane tile)."""
+    budget = 13 * 1024 * 1024
+    for t in (32, 24, 16, 8):
+        if hh % t != 0 or t % (pad // 2 if pad > 8 else 8) != 0:
+            continue
+        if pad == 16 and t % 16 != 0:
+            continue
+        est = 4 * ww * (cin * (t + pad) + 2 * cmid * (t + pad) + 11 * cmid * t)
+        if est <= budget:
+            return t
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -1,0 +1,44 @@
+"""Fused CHW decoder: full-model parity vs the flax EfficientUnet++."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deadtrees_tpu.models import create_model, init_model
+from deadtrees_tpu.ops.fused_decoder import fold_effunetpp_decoder, fused_forward
+
+
+def test_fused_forward_matches_flax():
+    model = create_model(
+        "efficientunet++",
+        "timm-efficientnet-b0",
+        in_channels=4,
+        classes=3,
+        decoder_channels=(24, 16, 16, 8, 8),
+        dtype=jnp.float32,
+    )
+    variables = init_model(model, jax.random.PRNGKey(0), image_size=32)
+    # randomize BN stats so folding is exercised
+    rng = np.random.default_rng(1)
+
+    def jiggle(path, leaf):
+        name = jax.tree_util.keystr(path)
+        if "mean" in name:
+            return jnp.asarray(rng.uniform(-0.2, 0.2, leaf.shape), leaf.dtype)
+        if "var" in name:
+            return jnp.asarray(rng.uniform(0.8, 1.2, leaf.shape), leaf.dtype)
+        return leaf
+
+    variables = jax.tree_util.tree_map_with_path(jiggle, variables)
+
+    img = jnp.asarray(
+        np.random.default_rng(2).normal(size=(1, 32, 32, 4)).astype(np.float32)
+    )
+    ref = model.apply(variables, img, train=False)
+
+    folded = fold_effunetpp_decoder(variables)
+    out = fused_forward(model, variables, folded, img, interpret=True)
+
+    assert out.shape == ref.shape
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 5e-3, f"max err {err}"

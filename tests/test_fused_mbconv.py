@@ -70,3 +70,25 @@ def test_fused_ragged_tile_heights():
     fp = fold_inverted_residual(variables["params"], variables["batch_stats"])
     out = fused_inverted_residual(x, fp, interpret=True)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-3
+
+
+@pytest.mark.parametrize("cin,cout,hw", [(16, 16, 32), (24, 16, 16), (16, 32, 8)])
+def test_fused_chw_matches_flax(cin, cout, hw):
+    from deadtrees_tpu.ops.fused_mbconv import fused_inverted_residual_chw
+
+    module = InvertedResidual(
+        features=cout, expansion_ratio=1, squeeze_ratio=1, dtype=jnp.float32
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, hw, hw, cin)).astype(np.float32)
+    )
+    variables = _randomized_variables(module, x)
+    ref = module.apply(variables, x, train=False)
+
+    fp = fold_inverted_residual(variables["params"], variables["batch_stats"])
+    x_chw = jnp.transpose(x, (0, 3, 1, 2))
+    out = fused_inverted_residual_chw(x_chw, fp, interpret=True)
+    out_nhwc = jnp.transpose(out, (0, 2, 3, 1))
+
+    err = np.abs(np.asarray(out_nhwc) - np.asarray(ref)).max()
+    assert err < 1e-3, f"max err {err}"
