@@ -72,7 +72,12 @@ class JaxInference(Inference):
         *,
         mean: Sequence[float] = DATASET_CONFIG.mean,
         std: Sequence[float] = DATASET_CONFIG.std,
+        fused_decoder: bool = False,
     ):
+        """``fused_decoder=True`` (efficientunet++ checkpoints only) routes
+        the decoder through the Pallas CHW kernels (ops/fused_decoder.py)
+        with BatchNorms folded at load — experimental; argmax-equivalent to
+        the flax path (see PERF.md for current end-to-end numbers)."""
         self.model, self.variables, self.hparams = load_model(checkpoint)
         self.in_channels = _sniff_in_channels(self.variables["params"], self.hparams)
         mean = tuple(mean)[: self.in_channels]
@@ -80,14 +85,37 @@ class JaxInference(Inference):
 
         model = self.model
 
-        @jax.jit
-        def _predict(params, batch_stats, img_u8):
-            img = normalize(img_u8.astype(jnp.float32), mean, std)
-            logits = model.apply(
-                {"params": params, "batch_stats": batch_stats}, img, train=False
+        if fused_decoder:
+            from deadtrees_tpu.ops.fused_decoder import (
+                fold_effunetpp_decoder,
+                fused_forward,
             )
-            probs = jax.nn.softmax(logits, axis=-1)
-            return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+
+            folded = fold_effunetpp_decoder(self.variables)
+            interp = jax.devices()[0].platform != "tpu"
+
+            @jax.jit
+            def _predict(params, batch_stats, img_u8):
+                img = normalize(img_u8.astype(jnp.float32), mean, std)
+                logits = fused_forward(
+                    model,
+                    {"params": params, "batch_stats": batch_stats},
+                    folded,
+                    img,
+                    interpret=interp,
+                )
+                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        else:
+
+            @jax.jit
+            def _predict(params, batch_stats, img_u8):
+                img = normalize(img_u8.astype(jnp.float32), mean, std)
+                logits = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, img, train=False
+                )
+                probs = jax.nn.softmax(logits, axis=-1)
+                return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
 
         self._predict = _predict
 

@@ -42,3 +42,28 @@ def test_fused_forward_matches_flax():
     assert out.shape == ref.shape
     err = np.abs(np.asarray(out) - np.asarray(ref)).max()
     assert err < 5e-3, f"max err {err}"
+
+
+def test_engine_fused_decoder_flag(tmp_path):
+    """JaxInference(fused_decoder=True) matches the flax engine."""
+    from deadtrees_tpu.core import save_checkpoint
+    from deadtrees_tpu.infer import JaxInference
+
+    hp = dict(
+        architecture="efficientunet++",
+        encoder_name="timm-efficientnet-b0",
+        in_channels=4,
+        classes=3,
+        decoder_channels=[24, 16, 16, 8, 8],
+    )
+    model = create_model(**hp, dtype=jnp.float32)
+    variables = init_model(model, jax.random.PRNGKey(0), image_size=32)
+    path = tmp_path / "m.ckpt"
+    save_checkpoint(
+        path, params=variables["params"], batch_stats=variables["batch_stats"],
+        hparams=hp,
+    )
+    img = np.random.default_rng(0).integers(0, 255, (1, 32, 32, 4), np.uint8)
+    a = JaxInference(path).run(img)
+    b = JaxInference(path, fused_decoder=True).run(img)
+    assert (a != b).mean() < 1e-2
