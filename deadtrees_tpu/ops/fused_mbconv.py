@@ -149,7 +149,8 @@ def fold_inverted_residual(params: Dict, batch_stats: Dict) -> FoldedBlockParams
 
 
 def _chw_pass1_kernel(
-    x_ref, w1t_ref, b1_ref, dw_ref, bdw_ref, h_ref, psum_ref
+    x_ref, w1t_ref, b1_ref, dw_ref, bdw_ref, h_ref, psum_ref,
+    *, act=jax.nn.hard_swish, ksize: int = 3
 ):
     """x window (1, Cin, TH+P, W) Element-indexed from the H-padded array
     (P = 8 for f32, 16 for bf16 — window rows must respect the dtype's
@@ -171,35 +172,36 @@ def _chw_pass1_kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    y = jax.nn.hard_swish(y + b1_ref[...])
+    y = act(y + b1_ref[...])
 
-    # zero rows outside the real image (window row j = original i*TH + j - 1;
-    # the dw conv's zero padding applies to y, not x)
+    # zero rows outside the real image (window row j = original
+    # i*TH + j - halo; the dw conv's zero padding applies to y, not x)
+    halo = ksize // 2
     total_h = th * pl.num_programs(1)
-    grow = i * th - 1 + jax.lax.broadcasted_iota(
+    grow = i * th - halo + jax.lax.broadcasted_iota(
         jnp.int32, (1, y.shape[1], 1), 1
     )
     y = jnp.where((grow >= 0) & (grow < total_h), y, 0.0)
 
-    # depthwise 3x3: row shifts are window slices; W shifts are lane rolls
-    # with the wrapped column zero-masked
+    # depthwise k x k: row shifts are window slices; W shifts are lane
+    # rolls with the wrapped columns zero-masked
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
 
-    def shift_w(t, dx):  # dx in {-1, 0, 1}: value at w+dx
+    def shift_w(t, dx):  # value at w+dx, zero outside [0, w)
         if dx == 0:
             return t
         # pltpu.roll requires non-negative shifts; (-dx) % w is equivalent
         r = pltpu.roll(t, (-dx) % w, axis=2)
-        if dx == 1:
-            return jnp.where(col < w - 1, r, 0.0)
-        return jnp.where(col > 0, r, 0.0)
+        if dx > 0:
+            return jnp.where(col < w - dx, r, 0.0)
+        return jnp.where(col >= -dx, r, 0.0)
 
     acc = jnp.zeros((cm, th, w), jnp.float32)
-    for dy in range(3):
+    for dy in range(ksize):
         ys = y[:, dy : dy + th, :]
-        for dx in range(3):
-            acc = acc + shift_w(ys, dx - 1) * dw_ref[dy, dx]  # (Cm,1,1)
-    h = jax.nn.hard_swish(acc + bdw_ref[...])
+        for dx in range(ksize):
+            acc = acc + shift_w(ys, dx - halo) * dw_ref[dy, dx]  # (Cm,1,1)
+    h = act(acc + bdw_ref[...])
 
     h_ref[0] = h.astype(h_ref.dtype)
     s2 = jnp.sum(jnp.sum(h, axis=2), axis=1, keepdims=True)  # (Cm, 1)
@@ -240,22 +242,32 @@ def _chw_pass2_kernel(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "activation", "ksize", "skip")
+)
 def fused_inverted_residual_chw(
     x_chw: jnp.ndarray,  # (B, C_in, H, W) — W in lanes
     fp: FoldedBlockParams,
     *,
     interpret: bool = False,
+    activation: str = "hswish",  # "hswish" (decoder) | "silu" (encoder)
+    ksize: int = 3,  # depthwise kernel size (3 or 5; encoder uses both)
+    skip: str = "auto",  # "auto" | "identity" | "conv" | "none"
 ) -> jnp.ndarray:
-    """TPU-lowerable fused InvertedResidual on CHW tensors.
+    """TPU-lowerable fused inverted-residual on CHW tensors.
 
-    Same math as :func:`fused_inverted_residual`, in the lane-dense layout.
-    Returns (B, C_out, H, W).
+    Same math as :func:`fused_inverted_residual` in the lane-dense layout,
+    generalized for encoder MBConvs: configurable activation, depthwise
+    kernel size, and skip mode ("none" for encoder blocks whose shapes
+    change — timm MBConv has no projected skip). Returns (B, C_out, H, W).
     """
     bsz, cin, hh, ww = x_chw.shape
     cmid = fp.w1.shape[1]
     cout = fp.w2.shape[1]
+    act = {"hswish": jax.nn.hard_swish, "silu": jax.nn.silu}[activation]
+    halo = ksize // 2
     pad = 16 if x_chw.dtype == jnp.bfloat16 else 8
+    assert pad >= 2 * halo, "window surplus must cover the dw halo"
     th = pick_tile_chw(hh, ww, cin, cmid, pad)
     if th is None:
         raise ValueError(
@@ -266,17 +278,24 @@ def fused_inverted_residual_chw(
     w1t = fp.w1.T  # (Cm, Cin)
     w2t = fp.w2.T  # (Cout, Cm)
     ssewt = fp.sse_w.T  # (1, Cm)
-    same = fp.wsk is None
-    wskt = (fp.wsk.T if not same else jnp.eye(cout, cin, dtype=jnp.float32))
-    bsk = fp.bsk if not same else jnp.zeros((cout,), jnp.float32)
+    if skip == "auto":
+        skip = "conv" if fp.wsk is not None else "identity"
+    if skip == "conv":
+        wskt, bsk = fp.wsk.T, fp.bsk
+    elif skip == "identity":
+        wskt = jnp.eye(cout, cin, dtype=jnp.float32)
+        bsk = jnp.zeros((cout,), jnp.float32)
+    else:  # none
+        wskt = jnp.zeros((cout, cin), jnp.float32)
+        bsk = jnp.zeros((cout,), jnp.float32)
 
-    # pad H: 1 top (halo), pad-1 bottom (halo + window tile alignment)
-    xp = jnp.pad(x_chw, ((0, 0), (0, 0), (1, pad - 1), (0, 0)))
+    # pad H: halo rows on top, the rest below (window tile alignment)
+    xp = jnp.pad(x_chw, ((0, 0), (0, 0), (halo, pad - halo), (0, 0)))
 
     as_c11 = lambda v: v.reshape(-1, 1, 1)  # noqa: E731  (C, 1, 1) biases
 
     h, psums = pl.pallas_call(
-        _chw_pass1_kernel,
+        functools.partial(_chw_pass1_kernel, act=act, ksize=ksize),
         grid=(bsz, n_tiles),
         in_specs=[
             pl.BlockSpec(
@@ -301,7 +320,7 @@ def fused_inverted_residual_chw(
             jax.ShapeDtypeStruct((bsz, n_tiles, cmid, 8), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, w1t, as_c11(fp.b1), fp.dw.reshape(3, 3, cmid, 1, 1), as_c11(fp.b_dw))
+    )(xp, w1t, as_c11(fp.b1), fp.dw.reshape(ksize, ksize, cmid, 1, 1), as_c11(fp.b_dw))
 
     pooled = jnp.sum(psums, axis=(1, 3)) / (hh * ww)  # (B, Cm)
     z = jnp.maximum(pooled @ fp.cse_w1 + fp.cse_b1, 0.0)

@@ -92,3 +92,66 @@ def test_fused_chw_matches_flax(cin, cout, hw):
 
     err = np.abs(np.asarray(out_nhwc) - np.asarray(ref)).max()
     assert err < 1e-3, f"max err {err}"
+
+
+@pytest.mark.parametrize("ksize,act,skip", [(5, "silu", "none"), (3, "silu", "identity"), (5, "hswish", "conv")])
+def test_fused_chw_generalized_modes(ksize, act, skip):
+    """Encoder-MBConv generalizations: k=5, SiLU, skip modes — verified
+    against a plain-jax functional reference."""
+    from deadtrees_tpu.ops.fused_mbconv import (
+        FoldedBlockParams,
+        fused_inverted_residual_chw,
+    )
+
+    rng = np.random.default_rng(0)
+    cin, cmid, cout, hw = 16, 16, 16 if skip != "conv" else 24, 16
+    fp = FoldedBlockParams(
+        w1=jnp.asarray(rng.normal(0, 0.2, (cin, cmid)), jnp.float32),
+        b1=jnp.asarray(rng.normal(0, 0.1, (cmid,)), jnp.float32),
+        dw=jnp.asarray(rng.normal(0, 0.2, (ksize, ksize, cmid)), jnp.float32),
+        b_dw=jnp.asarray(rng.normal(0, 0.1, (cmid,)), jnp.float32),
+        cse_w1=jnp.asarray(rng.normal(0, 0.2, (cmid, 4)), jnp.float32),
+        cse_b1=jnp.asarray(rng.normal(0, 0.1, (4,)), jnp.float32),
+        cse_w2=jnp.asarray(rng.normal(0, 0.2, (4, cmid)), jnp.float32),
+        cse_b2=jnp.asarray(rng.normal(0, 0.1, (cmid,)), jnp.float32),
+        sse_w=jnp.asarray(rng.normal(0, 0.2, (cmid, 1)), jnp.float32),
+        sse_b=jnp.asarray(rng.normal(0, 0.1, (1,)), jnp.float32),
+        w2=jnp.asarray(rng.normal(0, 0.2, (cmid, cout)), jnp.float32),
+        b2=jnp.asarray(rng.normal(0, 0.1, (cout,)), jnp.float32),
+        wsk=(jnp.asarray(rng.normal(0, 0.2, (cin, cout)), jnp.float32)
+             if skip == "conv" else None),
+        bsk=(jnp.asarray(rng.normal(0, 0.1, (cout,)), jnp.float32)
+             if skip == "conv" else None),
+    )
+    x = jnp.asarray(rng.normal(size=(2, cin, hw, hw)), jnp.float32)
+
+    # plain-jax reference (NCHW convs)
+    actf = {"hswish": jax.nn.hard_swish, "silu": jax.nn.silu}[act]
+    dn = ("NCHW", "HWIO", "NCHW")
+    y = actf(jax.lax.conv_general_dilated(
+        x, fp.w1.reshape(1, 1, cin, cmid), (1, 1), "SAME",
+        dimension_numbers=dn) + fp.b1[None, :, None, None])
+    h = actf(jax.lax.conv_general_dilated(
+        y, fp.dw[:, :, None, :], (1, 1), "SAME", feature_group_count=cmid,
+        dimension_numbers=dn) + fp.b_dw[None, :, None, None])
+    pooled = jnp.mean(h, axis=(2, 3))
+    gate = jax.nn.sigmoid(
+        jnp.maximum(pooled @ fp.cse_w1 + fp.cse_b1, 0.0) @ fp.cse_w2 + fp.cse_b2
+    )
+    s = jax.nn.sigmoid(jnp.einsum("bchw,c->bhw", h, fp.sse_w[:, 0]) + fp.sse_b[0])
+    scse = h * gate[:, :, None, None] + h * s[:, None, :, :]
+    ref = jax.lax.conv_general_dilated(
+        scse, fp.w2.reshape(1, 1, cmid, cout), (1, 1), "SAME",
+        dimension_numbers=dn) + fp.b2[None, :, None, None]
+    if skip == "conv":
+        ref = ref + jax.lax.conv_general_dilated(
+            x, fp.wsk.reshape(1, 1, cin, cout), (1, 1), "SAME",
+            dimension_numbers=dn) + fp.bsk[None, :, None, None]
+    elif skip == "identity":
+        ref = ref + x
+
+    out = fused_inverted_residual_chw(
+        x, fp, interpret=True, activation=act, ksize=ksize, skip=skip
+    )
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 1e-3, f"max err {err}"
