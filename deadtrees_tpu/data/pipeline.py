@@ -219,11 +219,17 @@ class DeadtreesDataModule:
         train: bool,
         loop: bool,
         rng: jax.Array,
+        stream_seed: Optional[int] = None,
     ) -> Iterator[Dict[str, jnp.ndarray]]:
         cfg = self.cfg
+        # stream_seed varies per epoch for training (derived from the epoch
+        # rng in train_batches) so shard order + buffered-shuffle draws
+        # differ every epoch — the reference's WebDataset pipeline reshuffles
+        # per epoch too; a constant seed would replay identical batches.
+        seed = cfg.seed if stream_seed is None else stream_seed
         main = _BatchProducer(
             make_sample_stream(
-                main_shards, shuffle=shuffle, seed=cfg.seed, loop=loop,
+                main_shards, shuffle=shuffle, seed=seed, loop=loop,
                 prefer_native=cfg.use_native, n_threads=cfg.num_workers,
             ),
             self.main_batch_size if extra_shards else cfg.batch_size,
@@ -232,7 +238,7 @@ class DeadtreesDataModule:
         extras = [
             _BatchProducer(
                 make_sample_stream(
-                    shards, shuffle=shuffle, seed=cfg.seed + 1 + i, loop=True,
+                    shards, shuffle=shuffle, seed=seed + 1 + i, loop=True,
                     prefer_native=cfg.use_native, n_threads=cfg.num_workers,
                 ),
                 bs,
@@ -270,6 +276,8 @@ class DeadtreesDataModule:
     ) -> Iterator[Dict[str, jnp.ndarray]]:
         assert self._setup_done, "call setup() first"
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        seed_rng, rng = jax.random.split(rng)
+        stream_seed = int(jax.random.randint(seed_rng, (), 0, 2**31 - 1))
         return self._combined_stream(
             self.train_shards,
             self.extra_train_shards,
@@ -277,6 +285,7 @@ class DeadtreesDataModule:
             train=True,
             loop=loop,
             rng=rng,
+            stream_seed=stream_seed,
         )
 
     def val_batches(self) -> Iterator[Dict[str, jnp.ndarray]]:

@@ -23,6 +23,7 @@ the torch module defines layers in forward order (true for smp decoders).
 from __future__ import annotations
 
 import logging
+import re
 from typing import Any, Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -190,9 +191,16 @@ def convert_efficientnet_encoder(
     return params, stats
 
 
+def _natural_key(name: str) -> Tuple[str, int]:
+    """Sort key giving linen's auto-numbering order: ``MBConv_2`` before
+    ``MBConv_10`` (plain string sort breaks at >=10 numbered siblings)."""
+    m = re.search(r"\d+$", name)
+    return (re.sub(r"\d+$", "", name), int(m.group()) if m else -1)
+
+
 def _flatten_with_path(tree: Dict, path=()) -> List[Tuple[Tuple, Any]]:
     out = []
-    for k in sorted(tree.keys()):
+    for k in sorted(tree.keys(), key=_natural_key):
         v = tree[k]
         if isinstance(v, dict):
             out.extend(_flatten_with_path(v, path + (k,)))
@@ -254,7 +262,18 @@ def load_torch_state_dict(path) -> Dict[str, Any]:
     """Load a torch/Lightning checkpoint's state dict from disk."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only=True: checkpoints come from DVC-fetched public artifacts
+    # (untrusted), so never execute pickled code. Plain tensor state dicts
+    # and Lightning's tensor/primitive metadata load fine; anything needing
+    # arbitrary-code unpickling is rejected loudly.
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # pickle.UnpicklingError subclass varies
+        raise ValueError(
+            f"Refusing to unpickle {path!r} with code execution "
+            f"(weights_only=True failed: {e}). Re-save the checkpoint as a "
+            f"plain tensor state dict."
+        ) from e
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in obj.items()}

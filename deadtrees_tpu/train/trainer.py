@@ -61,11 +61,15 @@ class MetricsLogger:
     """CSV metrics sink (+ optional W&B when importable)."""
 
     def __init__(self, save_dir: Path, use_wandb: bool = False, wandb_cfg=None):
+        # multi-host: only process 0 writes files / talks to W&B (the
+        # reference's rank-zero guard, utils/utils.py:19-29)
+        self.enabled = jax.process_index() == 0
         self.save_dir = Path(save_dir)
-        self.save_dir.mkdir(parents=True, exist_ok=True)
+        if self.enabled:
+            self.save_dir.mkdir(parents=True, exist_ok=True)
         self.rows: List[Dict[str, Any]] = []
         self.wandb = None
-        if use_wandb:
+        if use_wandb and self.enabled:
             try:
                 import wandb
 
@@ -81,7 +85,7 @@ class MetricsLogger:
             self.wandb.log(metrics, step=step)
 
     def flush(self) -> None:
-        if not self.rows:
+        if not self.rows or not self.enabled:
             return
         import csv
 
@@ -106,9 +110,6 @@ def _mean_metrics(batch_metrics: List[Dict[str, Any]], prefix: str) -> Dict[str,
             continue
         vals = [float(m[k]) for m in batch_metrics]
         out[f"{prefix}/{k}"] = float(np.mean(vals))
-    # rename to the reference's metric names
-    if f"{prefix}/total_loss" in out:
-        out[f"{prefix}/total_loss"] = out[f"{prefix}/total_loss"]
     return out
 
 
@@ -176,6 +177,7 @@ class Trainer:
             "decoder_channels": list(mc.get("decoder_channels", (256, 128, 64, 32, 16))),
             "in_channels": self.in_channels,
             "classes": self.num_classes,
+            "encoder_weights": mc.get("encoder_weights"),
         }
         # param shapes are spatial-size independent: init at 64² (cheap
         # compile), train/eval jit at the actual tile size lazily
@@ -210,6 +212,9 @@ class Trainer:
                                           num_classes=self.num_classes)
         self.eval_step = make_eval_step(self.model, self.loss,
                                         num_classes=self.num_classes)
+        # built ONCE: a fresh closure per val epoch would recompile the
+        # predict program every epoch (minutes each on the real flagship)
+        self.predict_step = make_predict_step(self.model)
 
         # callbacks config
         cb = cfg.get("callbacks", {})
@@ -223,7 +228,7 @@ class Trainer:
             if ms
             else None
         )
-        if self.multistage and self.hparams.get("encoder_weights") is None:
+        if self.multistage and mc.get("encoder_weights") is None:
             # reference errors out when freezing an untrained encoder
             # (multistage.py:26-30); we log instead of exiting
             log.warning(
@@ -288,6 +293,8 @@ class Trainer:
         return out
 
     def _save_cm_figures(self, cm, cm_masked, epoch: int) -> None:
+        if jax.process_index() != 0:
+            return
         try:
             from deadtrees_tpu.visualization import show_cm
 
@@ -308,11 +315,12 @@ class Trainer:
             log.debug(f"CM figure skipped: {e}")
 
     def _save_sample_figure(self, batch, epoch: int) -> None:
+        if jax.process_index() != 0:
+            return
         try:
             from deadtrees_tpu.visualization import show
 
-            predict = make_predict_step(self.model)
-            pred, probs = predict(
+            pred, probs = self.predict_step(
                 self.state.params, self.state.batch_stats, batch["image"]
             )
             fig = show(
@@ -524,6 +532,8 @@ class Trainer:
 
     def _ckpt_saver(self, epoch: int):
         def save(path):
+            if jax.process_index() != 0:
+                return
             save_checkpoint(
                 path,
                 params=self.state.params,
@@ -567,6 +577,8 @@ class Trainer:
 
     def teardown(self) -> None:
         """Dump per-file sample counters (segmodel.py:409-418)."""
+        if jax.process_index() != 0:
+            return
         import csv
 
         for split in ("train", "val"):

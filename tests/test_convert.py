@@ -124,3 +124,59 @@ def test_resnet18_forward_parity():
         assert np.allclose(
             np.asarray(jf), t_nhwc, atol=1e-3
         ), f"level {i} max err {np.abs(np.asarray(jf) - t_nhwc).max()}"
+
+
+def test_flatten_with_path_natural_order():
+    """>=10 auto-numbered siblings must flatten in numeric order — string
+    sort puts Block_10 before Block_2 and silently scrambles weights."""
+    from deadtrees_tpu.models.convert import _flatten_with_path
+
+    tree = {f"Block_{i}": {"kernel": np.zeros((i + 1,))} for i in range(12)}
+    paths = [p[0] for p, _ in _flatten_with_path(tree)]
+    assert paths == [f"Block_{i}" for i in range(12)]
+
+
+def test_convert_by_order_many_numbered_siblings():
+    """convert_by_order must assign same-shaped torch tensors to flax blocks
+    in definition order even past 10 siblings."""
+    from deadtrees_tpu.models.convert import convert_by_order
+
+    n = 12
+    flax_params = {
+        f"Conv_{i}": {"kernel": np.zeros((3, 3, 4, 4), np.float32)}
+        for i in range(n)
+    }
+    # torch tensors in forward order, each uniquely valued
+    torch_tensors = [
+        (f"layer{i}.weight", np.full((4, 4, 3, 3), float(i), np.float32))
+        for i in range(n)
+    ]
+    out = convert_by_order(torch_tensors, flax_params)
+    for i in range(n):
+        assert float(out[f"Conv_{i}"]["kernel"][0, 0, 0, 0]) == float(i), i
+
+
+def test_load_torch_state_dict_rejects_code_pickles(tmp_path):
+    import torch
+
+    class Evil:
+        def __reduce__(self):
+            return (print, ("pwned",))
+
+    p = tmp_path / "evil.ckpt"
+    torch.save({"state_dict": {"x": Evil()}}, p)
+    from deadtrees_tpu.models.convert import load_torch_state_dict
+
+    with pytest.raises(ValueError, match="Refusing to unpickle"):
+        load_torch_state_dict(p)
+
+
+def test_load_torch_state_dict_plain_tensors(tmp_path):
+    import torch
+
+    p = tmp_path / "plain.ckpt"
+    torch.save({"state_dict": {"w": torch.ones(2, 3)}}, p)
+    from deadtrees_tpu.models.convert import load_torch_state_dict
+
+    sd = load_torch_state_dict(p)
+    assert sd["w"].shape == (2, 3)

@@ -252,3 +252,24 @@ def test_datamodule_two_class_collapse(tmp_path):
     dm.setup()
     b = next(iter(dm.train_batches()))
     assert set(np.unique(np.asarray(b["mask"]))) <= {0, 1}
+
+
+def test_train_batches_reshuffle_per_epoch(tmp_path):
+    """Epoch-varying stream seed: batch composition must differ between
+    epochs (the reference's WebDataset pipeline reshuffles every epoch)."""
+    import jax
+
+    for i in range(5):
+        _write_shard(tmp_path / f"train-{i:06d}.tar", 8, seed=i)
+    cfg = DataConfig(data_dir=str(tmp_path), batch_size=4, shuffle_buffer=8)
+    dm = DeadtreesDataModule(cfg)
+    dm.setup()
+
+    rng = jax.random.PRNGKey(7)
+    r1, r2 = jax.random.split(rng)
+    order1 = [f for b in dm.train_batches(r1) for f in b["files"]]
+    order2 = [f for b in dm.train_batches(r2) for f in b["files"]]
+    order1_again = [f for b in dm.train_batches(r1) for f in b["files"]]
+    assert sorted(order1) == sorted(order2)  # same samples...
+    assert order1 != order2  # ...different order across epochs
+    assert order1 == order1_again  # still deterministic given the rng
