@@ -125,3 +125,122 @@ def read_shapefile(path: Union[str, Path]) -> List[Dict]:
 def read_prj(path: Union[str, Path]) -> Optional[str]:
     prj = Path(path).with_suffix(".prj")
     return prj.read_text().strip() if prj.exists() else None
+
+
+# ---------------------------------------------------------------------------
+# Writing (polygon shapefiles)
+# ---------------------------------------------------------------------------
+# The reference's aggregate_results.py writes yearly shapefiles via
+# geopandas.to_file (/root/reference/scripts/aggregate_results.py:116-123).
+# This environment has no GDAL; the subset needed — polygon records (type 5)
+# with numeric/character DBF attributes — is emitted directly.
+
+
+def _ensure_clockwise(ring: Ring) -> Ring:
+    """ESRI outer rings must be clockwise (negative shoelace area)."""
+    return ring if ring_signed_area(ring) <= 0 else ring[::-1]
+
+
+def _close_ring(ring: Ring) -> Ring:
+    return ring if ring[0] == ring[-1] else ring + [ring[0]]
+
+
+def _shp_polygon_record(rings: List[Ring]) -> bytes:
+    rings = [_close_ring(_ensure_clockwise(r)) for r in rings]
+    points = [p for r in rings for p in r]
+    xs = [p[0] for p in points]
+    ys = [p[1] for p in points]
+    parts, off = [], 0
+    for r in rings:
+        parts.append(off)
+        off += len(r)
+    content = struct.pack("<i4d", 5, min(xs), min(ys), max(xs), max(ys))
+    content += struct.pack("<ii", len(rings), len(points))
+    content += struct.pack(f"<{len(parts)}i", *parts)
+    content += struct.pack(f"<{2 * len(points)}d", *[c for p in points for c in p])
+    return content
+
+
+def _dbf_value(value, ftype: str, length: int, decimals: int) -> bytes:
+    if value is None:
+        text = ""
+    elif ftype == "N":
+        text = f"{float(value):.{decimals}f}" if decimals else str(int(value))
+    else:
+        text = str(value)
+    raw = text.encode("latin-1", "replace")[:length]
+    # numbers right-justified, text left-justified (dBASE III convention)
+    return raw.rjust(length) if ftype == "N" else raw.ljust(length)
+
+
+def write_shapefile(
+    path: Union[str, Path],
+    records: List[Dict],
+    fields: Optional[List[Tuple[str, str, int, int]]] = None,
+    crs_wkt: Optional[str] = None,
+) -> None:
+    """Write polygon records to ``path`` (.shp + .shx + .dbf [+ .prj]).
+
+    ``records``: [{'rings': [[(x, y), ...], ...], 'attributes': {...}}]
+    ``fields``: [(name<=10, 'N'|'C', length, decimals)]; inferred from the
+    first record's attributes when omitted (floats → N 19.8, else C 64).
+    """
+    path = Path(path)
+    if not records:
+        raise ValueError("write_shapefile needs at least one record")
+
+    if fields is None:
+        fields = []
+        for k, v in (records[0].get("attributes") or {}).items():
+            if isinstance(v, (int, float)) or v is None:
+                fields.append((k[:10], "N", 19, 8))
+            else:
+                fields.append((k[:10], "C", 64, 0))
+
+    # --- .shp / .shx ------------------------------------------------------
+    contents = [_shp_polygon_record(r["rings"]) for r in records]
+    all_x = [p[0] for r in records for ring in r["rings"] for p in ring]
+    all_y = [p[1] for r in records for ring in r["rings"] for p in ring]
+    bbox = (min(all_x), min(all_y), max(all_x), max(all_y))
+
+    def header(total_words: int, shape_type: int = 5) -> bytes:
+        h = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+        h += struct.pack(">i", total_words)
+        h += struct.pack("<ii", 1000, shape_type)
+        h += struct.pack("<4d", *bbox)
+        h += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)  # z/m ranges
+        return h
+
+    shp_words = 50 + sum(4 + len(c) // 2 for c in contents)
+    with open(path.with_suffix(".shp"), "wb") as f:
+        f.write(header(shp_words))
+        for i, c in enumerate(contents, start=1):
+            f.write(struct.pack(">ii", i, len(c) // 2))
+            f.write(c)
+
+    with open(path.with_suffix(".shx"), "wb") as f:
+        f.write(header(50 + 4 * len(contents)))
+        offset = 50
+        for c in contents:
+            f.write(struct.pack(">ii", offset, len(c) // 2))
+            offset += 4 + len(c) // 2
+
+    # --- .dbf ---------------------------------------------------------------
+    record_size = 1 + sum(ln for _, _, ln, _ in fields)
+    header_size = 32 + 32 * len(fields) + 1
+    with open(path.with_suffix(".dbf"), "wb") as f:
+        f.write(struct.pack("<B3Bihh20x", 0x03, 95, 1, 1, len(records),
+                            header_size, record_size))
+        for name, ftype, length, decimals in fields:
+            f.write(struct.pack("<11sc4xBB14x", name.encode("ascii"),
+                                ftype.encode("ascii"), length, decimals))
+        f.write(b"\x0d")
+        for r in records:
+            attrs = r.get("attributes") or {}
+            f.write(b" ")
+            for name, ftype, length, decimals in fields:
+                f.write(_dbf_value(attrs.get(name), ftype, length, decimals))
+        f.write(b"\x1a")
+
+    if crs_wkt:
+        path.with_suffix(".prj").write_text(crs_wkt)

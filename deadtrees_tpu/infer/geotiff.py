@@ -49,6 +49,25 @@ class GeoImage:
     def shape(self) -> Tuple[int, ...]:
         return self.data.shape
 
+    @property
+    def bounds(self) -> Optional[Tuple[float, float, float, float]]:
+        """(xmin, ymin, xmax, ymax) in CRS units, or None when ungeoreferenced
+        (rioxarray ``ds.rio.bounds()`` analogue, reference
+        aggregate_results.py:74)."""
+        h, w = self.data.shape[:2]
+        if self.geo.get("backend") == "rasterio" and self.geo.get("transform"):
+            t = self.geo["transform"]
+            xs = [t.c, t.c + t.a * w]
+            ys = [t.f, t.f + t.e * h]
+            return (min(xs), min(ys), max(xs), max(ys))
+        tags = self.geo.get("tags", {})
+        scale, tie = tags.get(33550), tags.get(33922)
+        if scale and tie and len(tie) >= 6:
+            sx, sy = float(scale[0]), float(scale[1])
+            x0, y0 = float(tie[3]), float(tie[4])
+            return (x0, y0 - sy * h, x0 + sx * w, y0)
+        return None
+
 
 def read_geotiff(path: Union[str, Path]) -> GeoImage:
     """Read a scene as (H, W, C) uint8/uint16 + georeferencing blob."""

@@ -4,9 +4,10 @@
 Port of /root/reference/scripts/aggregate_results.py:27-123: for each year,
 pair predicted tiles with their forest-mask (lu) tiles, compute the conifer
 and broadleaf dead fraction over forest pixels for tiles with ≥limit% forest
-cover, and write per-year results. The reference writes shapefiles via
-geopandas; without GDAL this writes ``aggregated_{year}.csv`` carrying the
-same columns plus tile bounds (consumable by any GIS).
+cover, and write per-year results: ``aggregated_{year}.csv`` plus
+``aggregated_{year}.shp`` (tile bounding boxes with conifer/broadleaf/total
+attributes — same schema the reference emits via geopandas.to_file,
+written by the first-party writer in deadtrees_tpu.geo.shapefile).
 """
 
 from __future__ import annotations
@@ -44,17 +45,20 @@ class Result:
 
 def process_tile(paths, *, limit: int) -> Result:
     tile, forest_tile = paths
-    a = read_geotiff(tile).data.squeeze()
+    img = read_geotiff(tile)
+    a = img.data.squeeze()
     b = read_geotiff(forest_tile).data.squeeze()
 
     if (b.sum() / b.size) * 100 < limit:
-        return Result(tile=tile.stem, bounds=None, conifer=None, broadleaf=None)
+        return Result(tile=tile.stem, bounds=img.bounds,
+                      conifer=None, broadleaf=None)
     forest = b.sum()
     res = []
     for c in (1, 2):
         dead = int(((a == c) & (b == 1)).sum())
         res.append((dead / forest) * 100)
-    return Result(tile=tile.stem, bounds=None, conifer=res[0], broadleaf=res[1])
+    return Result(tile=tile.stem, bounds=img.bounds,
+                  conifer=res[0], broadleaf=res[1])
 
 
 def main() -> None:
@@ -89,6 +93,7 @@ def main() -> None:
         with Pool(WORKERS) as pool:
             results = pool.map(partial(process_tile, limit=args.limit), pairs, chunksize=1)
 
+        kept = [r for r in results if r.total is not None]
         rows = [
             {
                 "tile": r.tile,
@@ -96,12 +101,35 @@ def main() -> None:
                 "broadleaf": r.broadleaf,
                 "total": r.total,
             }
-            for r in results
-            if r.total is not None
+            for r in kept
         ]
         out = Path(f"aggregated_{year}.csv")
         pd.DataFrame(rows).to_csv(out, index=False)
         print(f"wrote {out} ({len(rows)} tiles)")
+
+        # yearly shapefile with the reference's schema: conifer/broadleaf/
+        # total attributes on the tile's bounding box
+        # (/root/reference/scripts/aggregate_results.py:44-54,116-123)
+        shp_records = [
+            {
+                "rings": [[(x1, y1), (x1, y2), (x2, y2), (x2, y1)]],
+                "attributes": {
+                    "conifer": r.conifer,
+                    "broadleaf": r.broadleaf,
+                    "total": r.total,
+                },
+            }
+            for r in kept
+            if r.bounds is not None
+            for (x1, y1, x2, y2) in [r.bounds]
+        ]
+        if shp_records:
+            from deadtrees_tpu.geo.shapefile import write_shapefile
+
+            write_shapefile(Path(f"aggregated_{year}"), shp_records)
+            print(f"wrote aggregated_{year}.shp ({len(shp_records)} polygons)")
+        else:
+            print(f"no georeferenced tiles for {year}; shapefile skipped")
 
 
 if __name__ == "__main__":

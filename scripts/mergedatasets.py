@@ -1,65 +1,102 @@
 #!/usr/bin/env python
-"""Merge per-year shard directories into train/val/test folders.
+"""Combine per-year shard directories into one train/val/test dataset.
 
-Port of /root/reference/scripts/mergedatasets.py:12-62: split each year's
-shards by the dataset fractions [.7, .2, .1], copy into
-``outdir/{train,val,test}`` renaming shards with the year infix
-(``train-000001.tar`` → ``train-2019-000001.tar``).
+Same job as /root/reference/scripts/mergedatasets.py:12-62: each input
+directory holds one acquisition year's tar shards; every year is split by
+the dataset fractions and its shards land in ``outdir/{train,val,test}``
+under a year-tagged name so samples from all years mix at train time.
+
+Differences from the reference: a dry-run mode, ``--link`` to hardlink
+instead of copying (shards are large), and explicit failure messages per
+directory instead of a bare exit.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import shutil
 import sys
 from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from deadtrees_tpu.data.config import DATASET_CONFIG  # noqa: E402
 from deadtrees_tpu.data.shards import split_shards  # noqa: E402
 
+SPLITS = ("train", "val", "test")
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("indirs", type=Path, nargs="+")
-    parser.add_argument("--outdir", type=Path, default=Path("data/dataset"))
-    args = parser.parse_args()
 
-    args.outdir.mkdir(parents=True, exist_ok=True)
+def year_of(directory: Path) -> str:
+    """A 4-digit year somewhere in the directory path tags its shards."""
+    match = re.search(r"(?<!\d)(\d{4})(?!\d)", str(directory))
+    if not match:
+        raise ValueError(f"cannot find a 4-digit year in {directory}")
+    return match.group(1)
+
+
+def tagged_name(shard: Path, year: str) -> str:
+    """``train-balanced-000007.tar`` → ``train-balanced-2019-000007.tar``:
+    the year slots in before the trailing shard counter."""
+    stem, suffix = shard.stem, shard.suffix
+    m = re.search(r"-(\d{6,})$", stem)
+    if m:
+        return f"{stem[: m.start()]}-{year}-{m.group(1)}{suffix}"
+    return f"{stem}-{year}{suffix}"
+
+
+def plan_moves(
+    indirs: List[Path], outdir: Path, fractions: List[float]
+) -> Iterator[Tuple[Path, Path]]:
+    """Yield (source shard, destination) pairs for every year directory."""
+    for indir in indirs:
+        year = year_of(indir)
+        shards = sorted(indir.glob("*.tar"))
+        if not shards:
+            raise ValueError(f"no .tar shards in {indir}")
+        per_split = split_shards([str(s) for s in shards], fractions)
+        for split, members in zip(SPLITS, per_split):
+            for shard in members or []:
+                shard = Path(shard)
+                yield shard, outdir / split / tagged_name(shard, year)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("indirs", type=Path, nargs="+",
+                    help="per-year shard directories (>= 2)")
+    ap.add_argument("--outdir", type=Path, default=Path("data/dataset"))
+    ap.add_argument("--link", action="store_true",
+                    help="hardlink instead of copying")
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args(argv)
 
     if len(args.indirs) < 2:
-        print("At least two indirs are required!\n")
-        parser.print_help()
-        sys.exit(1)
+        ap.error("need at least two input directories (one per year)")
 
-    years = [re.search(r"\d{4}", str(d)) for d in args.indirs]
-    years_extracted = [y.group() for y in years if y]
-    if len(years_extracted) != len(args.indirs):
-        print("Extracting year info from indirs failed!\n")
-        parser.print_help()
-        sys.exit(1)
+    moves = list(
+        plan_moves(args.indirs, args.outdir, list(DATASET_CONFIG.fractions))
+    )
+    for split in SPLITS:
+        (args.outdir / split).mkdir(parents=True, exist_ok=True)
 
-    for sub in ("train", "val", "test"):
-        (args.outdir / sub).mkdir(parents=True, exist_ok=True)
+    for src, dst in moves:
+        if args.dry_run:
+            print(f"{src} -> {dst}")
+        elif args.link:
+            if dst.exists():
+                dst.unlink()
+            os.link(src, dst)
+        else:
+            shutil.copyfile(src, dst)
 
-    for year, indir in zip(years_extracted, args.indirs):
-
-        def copy_to_dst(files, subdir):
-            for infile in files or []:
-                infile = Path(infile)
-                f = infile.name.split("-0")
-                outfile = args.outdir / subdir / f"{f[0]}-{year}-0{f[1]}"
-                shutil.copyfile(str(infile), str(outfile))
-
-        train_files, val_files, test_files = split_shards(
-            sorted(indir.glob("*.tar")), list(DATASET_CONFIG.fractions)
-        )
-        copy_to_dst(train_files, "train")
-        copy_to_dst(val_files, "val")
-        copy_to_dst(test_files, "test")
+    n = {s: sum(1 for _, d in moves if d.parent.name == s) for s in SPLITS}
+    print(f"merged {len(moves)} shards into {args.outdir} "
+          f"(train={n['train']} val={n['val']} test={n['test']})")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -47,9 +47,19 @@ def main() -> None:
     parser.add_argument("--launcher", choices=["local", "slurm", "print"], default="local")
     parser.add_argument("--results", type=Path, default=Path("sweep_results.jsonl"))
     parser.add_argument("--extra", nargs="*", default=[], help="extra overrides for every run")
+    parser.add_argument(
+        "--from-config", metavar="NAME", default=None,
+        help="load the search space from configs/hparams_search/NAME.yaml "
+        "(the Hydra-style hparams_search group) instead of sweep.yaml",
+    )
     args = parser.parse_args()
 
-    cfg = yaml.safe_load(args.sweep_config.read_text())
+    if args.from_config:
+        group = Path(__file__).resolve().parents[1] / "configs" / "hparams_search"
+        doc = yaml.safe_load((group / f"{args.from_config}.yaml").read_text())
+        cfg = doc.get("hparams_search", doc)
+    else:
+        cfg = yaml.safe_load(args.sweep_config.read_text())
     program = cfg.get("program", "run.py")
     metric = cfg.get("metric", {}).get("name", "val/dice")
     goal = cfg.get("metric", {}).get("goal", "maximize")

@@ -76,3 +76,27 @@ def test_env_interpolation_default(tmp_path):
 def test_plus_override_adds_key():
     cfg = compose(CONFIG_DIR, overrides=["+optimized_metric=val/dice"])
     assert cfg["optimized_metric"] == "val/dice"
+
+
+def test_experiment_group_composes():
+    """configs/experiment files are @package _global_ overrides of the whole
+    tree (reference configs/experiment/ group semantics)."""
+    from deadtrees_tpu.config import compose
+
+    cfg = compose("configs", overrides=["experiment=quick_unet_debug"])
+    assert cfg["model"]["network"]["architecture"] == "unet"
+    assert cfg["trainer"]["max_epochs"] == 2
+    assert cfg["name"] == "quick_unet_debug"
+
+    flag = compose("configs", overrides=["experiment=flagship_b5_multistage"])
+    assert flag["callbacks"]["multistage"]["unfreeze_epoch"] == 20
+    assert flag["trainer"]["max_epochs"] == 300
+
+
+def test_hparams_search_group_composes():
+    from deadtrees_tpu.config import compose
+
+    cfg = compose("configs", overrides=["hparams_search=architecture_grid"])
+    params = cfg["hparams_search"]["parameters"]
+    assert "model.network.architecture" in params
+    assert cfg["optimized_metric"] == "val/dice"

@@ -159,3 +159,34 @@ def test_createmasks_end_to_end(tmp_path, shapefile):
     mask = np.asarray(Image.open(out[0]))
     assert set(np.unique(mask)) <= {0, 1, 2}
     assert (mask == 1).sum() > 0 and (mask == 2).sum() > 0
+
+
+def test_shapefile_write_read_roundtrip(tmp_path):
+    """First-party polygon writer must round-trip through the reader
+    (reference writes yearly shapefiles, aggregate_results.py:116-123)."""
+    from deadtrees_tpu.geo.shapefile import (
+        read_shapefile,
+        ring_signed_area,
+        write_shapefile,
+    )
+
+    records = [
+        {
+            "rings": [[(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]],
+            "attributes": {"conifer": 1.25, "broadleaf": 2.5, "total": 3.75},
+        },
+        {
+            "rings": [[(20.0, 20.0), (20.0, 30.0), (30.0, 30.0), (30.0, 20.0)]],
+            "attributes": {"conifer": None, "broadleaf": 0.0, "total": 0.0},
+        },
+    ]
+    write_shapefile(tmp_path / "agg", records, crs_wkt='PROJCS["t"]')
+    out = read_shapefile(tmp_path / "agg")
+    assert len(out) == 2
+    assert out[0]["bbox"] == (0.0, 0.0, 10.0, 10.0)
+    assert abs(float(out[0]["attributes"]["conifer"]) - 1.25) < 1e-9
+    assert out[1]["attributes"]["conifer"] == ""  # None -> empty DBF cell
+    # ESRI outer rings are clockwise
+    assert ring_signed_area(out[0]["rings"][0]) <= 0
+    assert (tmp_path / "agg.shx").exists()
+    assert (tmp_path / "agg.prj").read_text() == 'PROJCS["t"]'
