@@ -85,14 +85,33 @@ def edt(mask: jnp.ndarray) -> jnp.ndarray:
     h, w = mask.shape
     g = _nearest_true_1d_sq(mask, axis=0)  # (H, W) vertical distance
     g2 = jnp.minimum(g * g, _BIG)
+    return jnp.sqrt(_row_envelope_min(g2))
 
+
+def _row_envelope_min(g2: jnp.ndarray) -> jnp.ndarray:
+    """d2[y, x] = min_x' ((x - x')² + g2[y, x']), chunked over row blocks.
+
+    The dense formulation materializes an (H, W, W') intermediate — fine at
+    256² (~200 MB for K=3) but ~1.6 GB at 512², which would OOM a 16 GB
+    chip during distmap-enabled eval. Processing row blocks of R rows under
+    ``lax.map`` bounds the live intermediate at R·W·W' floats (≤ 64 MB)
+    while keeping each block a dense VPU-friendly broadcast-min.
+    """
+    h, w = g2.shape
     x = jax.lax.broadcasted_iota(jnp.float32, (w, w), 0)
     xp = jax.lax.broadcasted_iota(jnp.float32, (w, w), 1)
     dx2 = (x - xp) ** 2  # (W, W')
 
-    # d2[y, x] = min_x' (dx2[x, x'] + g2[y, x'])
-    d2 = jnp.min(dx2[None, :, :] + g2[:, None, :], axis=-1)
-    return jnp.sqrt(d2)
+    # R·W·W' ≤ 16M floats (64 MB); at least 8 rows per block
+    chunk = int(min(h, max(8, (16 * 2**20) // (w * w))))
+    if h % chunk == 0 and h // chunk > 1:
+        blocks = g2.reshape(h // chunk, chunk, w)
+        d2 = jax.lax.map(
+            lambda b: jnp.min(dx2[None, :, :] + b[:, None, :], axis=-1),
+            blocks,
+        )
+        return d2.reshape(h, w)
+    return jnp.min(dx2[None, :, :] + g2[:, None, :], axis=-1)
 
 
 def one_hot2dist(seg: jnp.ndarray) -> jnp.ndarray:
