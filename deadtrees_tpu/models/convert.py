@@ -191,6 +191,112 @@ def convert_efficientnet_encoder(
     return params, stats
 
 
+def _convert_conv(prefix: str, sd: Dict[str, Any], depthwise: bool = False) -> Dict:
+    """One torch conv (with optional bias) → flax Conv param dict."""
+    conv = t2j_depthwise_conv if depthwise else t2j_conv
+    out = {"kernel": conv(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_inverted_residual(prefix: str, sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """One reference InvertedResidual (efficientunetplusplus/decoder.py:9-60)
+    → flax :class:`deadtrees_tpu.models.blocks.InvertedResidual` variables.
+
+    Torch layout: ``block.0`` expand pw, ``block.1`` BN, ``block.3`` dw,
+    ``block.4`` BN, ``block.6`` SCSE (cSE.1/cSE.3/sSE.0 convs), ``block.7``
+    project pw, ``block.8`` BN, plus ``skip_conv.0/.1`` when shapes differ.
+    """
+    params: Dict[str, Any] = {
+        "Conv_0": _convert_conv(f"{prefix}.block.0", sd),
+        "Conv_1": _convert_conv(f"{prefix}.block.3", sd, depthwise=True),
+        "SCSEModule_0": {
+            "SEModule_0": {
+                "Conv_0": _convert_conv(f"{prefix}.block.6.cSE.1", sd),
+                "Conv_1": _convert_conv(f"{prefix}.block.6.cSE.3", sd),
+            },
+            "SSEModule_0": {
+                "Conv_0": _convert_conv(f"{prefix}.block.6.sSE.0", sd),
+            },
+        },
+        "Conv_2": _convert_conv(f"{prefix}.block.7", sd),
+    }
+    stats: Dict[str, Any] = {}
+    for flax_bn, torch_bn in (
+        ("BatchNorm_0", "block.1"),
+        ("BatchNorm_1", "block.4"),
+        ("BatchNorm_2", "block.8"),
+    ):
+        params[flax_bn], stats[flax_bn] = convert_bn(f"{prefix}.{torch_bn}", sd)
+    if f"{prefix}.skip_conv.0.weight" in sd:
+        params["Conv_3"] = _convert_conv(f"{prefix}.skip_conv.0", sd)
+        params["BatchNorm_3"], stats["BatchNorm_3"] = convert_bn(
+            f"{prefix}.skip_conv.1", sd
+        )
+    return params, stats
+
+
+def convert_effunetpp_decoder(sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """Reference EfficientUnet++ decoder state dict → flax decoder variables.
+
+    Maps every dense-grid cell ``decoder.blocks.x_{d}_{l}.conv{1,2}``
+    (efficientunetplusplus/decoder.py:134-184) onto
+    ``decoder/_DenseGridDecoder_0/x_{d}_{l}/InvertedResidual_{0,1}`` by
+    explicit key construction — no order matching, so a missing/misshaped
+    tensor fails loudly instead of scrambling."""
+    cells = sorted(
+        {
+            k.split(".")[2]
+            for k in sd
+            if k.startswith("decoder.blocks.")
+        }
+    )
+    if not cells:
+        raise ValueError("no decoder.blocks.* keys in state dict")
+    grid_p: Dict[str, Any] = {}
+    grid_s: Dict[str, Any] = {}
+    for cell in cells:
+        cp: Dict[str, Any] = {}
+        cs: Dict[str, Any] = {}
+        for i, conv in enumerate(("conv1", "conv2")):
+            p, s = convert_inverted_residual(f"decoder.blocks.{cell}.{conv}", sd)
+            cp[f"InvertedResidual_{i}"] = p
+            cs[f"InvertedResidual_{i}"] = s
+        grid_p[cell] = cp
+        grid_s[cell] = cs
+    return (
+        {"_DenseGridDecoder_0": grid_p},
+        {"_DenseGridDecoder_0": grid_s},
+    )
+
+
+def convert_effunetpp_checkpoint(
+    sd: Dict[str, Any], *, width_mult: float, depth_mult: float
+) -> Dict[str, Dict]:
+    """Full flagship (EfficientUnet++ / timm-efficientnet encoder) Lightning
+    state dict → ``{"params", "batch_stats"}`` for
+    :class:`deadtrees_tpu.models.factory.SegmentationModel`.
+
+    Accepts the reference checkpoint's ``model.`` prefix
+    (segmodel.py ``self.model``) or bare smp naming.
+    """
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    enc_p, enc_s = convert_efficientnet_encoder(sd, width_mult, depth_mult)
+    dec_p, dec_s = convert_effunetpp_decoder(sd)
+    head = _convert_conv("segmentation_head.0", sd)
+    return {
+        "params": {
+            "encoder": enc_p,
+            "decoder": dec_p,
+            "segmentation_head": {"Conv_0": head},
+        },
+        "batch_stats": {"encoder": enc_s, "decoder": dec_s},
+    }
+
+
 def _natural_key(name: str) -> Tuple[str, int]:
     """Sort key giving linen's auto-numbering order: ``MBConv_2`` before
     ``MBConv_10`` (plain string sort breaks at >=10 numbered siblings)."""

@@ -1,0 +1,222 @@
+"""Full-flagship torch→Flax conversion parity (VERDICT r1 item 4).
+
+The complete model of record — EfficientUnet++ decoder + segmentation head
+on a timm-EfficientNet encoder — is re-stated in plain torch with the
+reference's exact module layout (state-dict key scheme of
+/root/reference/deadtrees/network/extra/efficientunetplusplus/decoder.py),
+converted with ``convert_effunetpp_checkpoint``, and the Flax model must
+reproduce its logits. This de-risks the dice ±0.002 north star for when
+the reference's ``bestmodel.ckpt`` becomes available.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from deadtrees_tpu.models import create_model, init_model  # noqa: E402
+from deadtrees_tpu.models.convert import (  # noqa: E402
+    convert_effunetpp_checkpoint,
+)
+from tests.test_convert_effnet import _torch_effnet_b0  # noqa: E402
+
+DEC_CH = (32, 24, 16, 12, 8)
+
+
+def _torch_scse(c, reduction):
+    import torch.nn as nn
+
+    class SCSE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.cSE = nn.Sequential(
+                nn.AdaptiveAvgPool2d(1),
+                nn.Conv2d(c, c // reduction, 1),
+                nn.ReLU(inplace=True),
+                nn.Conv2d(c // reduction, c, 1),
+                nn.Sigmoid(),
+            )
+            self.sSE = nn.Sequential(nn.Conv2d(c, 1, 1), nn.Sigmoid())
+
+        def forward(self, x):
+            return x * self.cSE(x) + x * self.sSE(x)
+
+    return SCSE()
+
+
+def _torch_inverted_residual(cin, cout, squeeze_ratio=1, expansion_ratio=1):
+    import torch.nn as nn
+
+    mid = cin * expansion_ratio
+
+    class IR(nn.Module):
+        def __init__(self):
+            super().__init__()
+            # index layout matches the reference Sequential (activations at
+            # 2/5 hold no params, so conv/bn indices are 0/1/3/4/6/7/8)
+            self.block = nn.Sequential(
+                nn.Conv2d(cin, mid, 1),
+                nn.BatchNorm2d(mid),
+                nn.Hardswish(),
+                nn.Conv2d(mid, mid, 3, padding=1, groups=mid),
+                nn.BatchNorm2d(mid),
+                nn.Hardswish(),
+                _torch_scse(mid, squeeze_ratio),
+                nn.Conv2d(mid, cout, 1),
+                nn.BatchNorm2d(cout),
+            )
+            if cin != cout:
+                self.skip_conv = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1), nn.BatchNorm2d(cout)
+                )
+
+        def forward(self, x):
+            residual = self.block(x)
+            if hasattr(self, "skip_conv"):
+                x = self.skip_conv(x)
+            return x + residual
+
+    return IR()
+
+
+def _torch_decoder_block(cin, skip_ch, cout):
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = _torch_inverted_residual(cin + skip_ch, cout)
+            self.conv2 = _torch_inverted_residual(cout, cout)
+
+        def forward(self, x, skip=None):
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+            if skip is not None:
+                x = torch.cat([x, skip], dim=1)
+            return self.conv2(self.conv1(x))
+
+    return Block()
+
+
+def _torch_effunetpp_decoder(encoder_channels, decoder_channels):
+    import torch.nn as nn
+
+    class Decoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            ec = list(encoder_channels[1:])[::-1]
+            head = ec[0]
+            self.in_channels = [head] + list(decoder_channels[:-1])
+            self.skip_channels = list(ec[1:]) + [0]
+            self.out_channels = list(decoder_channels)
+            self.depth = len(self.in_channels) - 1
+
+            blocks = {}
+            for li in range(len(self.in_channels) - 1):
+                for di in range(li + 1):
+                    if di == 0:
+                        cin = self.in_channels[li]
+                        skip = self.skip_channels[li] * (li + 1)
+                        cout = self.out_channels[li]
+                    else:
+                        cout = self.skip_channels[li]
+                        skip = self.skip_channels[li] * (li + 1 - di)
+                        cin = self.skip_channels[li - 1]
+                    blocks[f"x_{di}_{li}"] = _torch_decoder_block(cin, skip, cout)
+            blocks[f"x_0_{self.depth}"] = _torch_decoder_block(
+                self.in_channels[-1], 0, self.out_channels[-1]
+            )
+            self.blocks = nn.ModuleDict(blocks)
+
+        def forward(self, *features):
+            feats = list(features[1:])[::-1]
+            dense = {}
+            for li in range(len(self.in_channels) - 1):
+                for di in range(self.depth - li):
+                    if li == 0:
+                        dense[(di, di)] = self.blocks[f"x_{di}_{di}"](
+                            feats[di], feats[di + 1]
+                        )
+                    else:
+                        l = di + li
+                        cat = [dense[(i, l)] for i in range(di + 1, l + 1)]
+                        cat = torch.cat(cat + [feats[l + 1]], dim=1)
+                        dense[(di, l)] = self.blocks[f"x_{di}_{l}"](
+                            dense[(di, l - 1)], cat
+                        )
+            return self.blocks[f"x_0_{self.depth}"](dense[(0, self.depth - 1)])
+
+    return Decoder()
+
+
+def _torch_flagship(in_ch=4, classes=3):
+    import torch.nn as nn
+
+    class Flagship(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = _torch_effnet_b0(in_ch=in_ch)
+            enc_out = (in_ch, 32, 24, 40, 112, 320)  # b0 out_channels
+            self.decoder = _torch_effunetpp_decoder(enc_out, DEC_CH)
+            self.segmentation_head = nn.Sequential(
+                nn.Conv2d(DEC_CH[-1], classes, 3, padding=1)
+            )
+
+        def forward(self, x):
+            feats = self.encoder(x)
+            return self.segmentation_head(self.decoder(*feats))
+
+    return Flagship()
+
+
+def test_convert_full_flagship_logits_parity():
+    torch.manual_seed(0)
+    tmodel = _torch_flagship().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.3)
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_effunetpp_checkpoint(sd, width_mult=1.0, depth_mult=1.0)
+
+    model = create_model(
+        "efficientunet++", "timm-efficientnet-b0",
+        in_channels=4, classes=3, decoder_channels=DEC_CH,
+        dtype=jnp.float32,
+    )
+    # the converted tree must match the initialized tree structurally
+    import jax
+
+    ref = init_model(model, jax.random.PRNGKey(0), image_size=64)
+    ref_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(ref["params"])
+    }
+    got_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(variables["params"])
+    }
+    assert ref_paths == got_paths, (
+        f"missing={sorted(ref_paths - got_paths)[:5]} "
+        f"extra={sorted(got_paths - ref_paths)[:5]}"
+    )
+
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 4)).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    j_logits = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    j_nchw = np.asarray(j_logits).transpose(0, 3, 1, 2)
+    assert j_nchw.shape == t_logits.shape
+    err = np.abs(j_nchw - t_logits).max()
+    assert err < 3e-3, f"logits max err {err}"
+    np.testing.assert_array_equal(
+        j_nchw.argmax(1), t_logits.argmax(1)
+    )
