@@ -58,6 +58,11 @@ class DataConfig:
     split_fractions: Sequence[float] = DATASET_CONFIG.fractions
     seed: int = 0
     use_native: bool = True  # C++ tar/TIFF fast path when built
+    # multi-host input sharding (SURVEY.md §5.8): each process reads only
+    # its shard subset and contributes a process-local slice of the global
+    # batch. Defaults resolve to jax.process_index()/process_count().
+    process_index: Optional[int] = None
+    process_count: Optional[int] = None
 
 
 def _stack_samples(
@@ -171,6 +176,17 @@ class DeadtreesDataModule:
         self.valid_shards = valid_shards
         self.test_shards = test_shards
 
+        # multi-host: disjoint round-robin train-shard assignment; every
+        # process keeps the full val/test lists (identical metrics on all
+        # hosts) and contributes its slice of each eval batch instead.
+        pi, pc = self.process_index, self.process_count
+        self.train_shards_local = list(train_shards[pi::pc])
+        if pc > 1 and not self.train_shards_local:
+            raise ValueError(
+                f"process {pi}/{pc} got no train shards "
+                f"({len(train_shards)} total) — need >= one shard per host"
+            )
+
         self.shard_size = count_shard_samples(train_shards[0])
 
         self.extra_train_shards: List[List[str]] = []
@@ -183,6 +199,31 @@ class DeadtreesDataModule:
 
         self._setup_done = True
 
+    # -- multi-host geometry -------------------------------------------------
+    @property
+    def process_index(self) -> int:
+        if self.cfg.process_index is not None:
+            return int(self.cfg.process_index)
+        return jax.process_index()
+
+    @property
+    def process_count(self) -> int:
+        if self.cfg.process_count is not None:
+            return int(self.cfg.process_count)
+        return jax.process_count()
+
+    @property
+    def local_batch_size(self) -> int:
+        """Per-process batch size; the global batch is assembled from these
+        (jax.make_array_from_process_local_data in parallel.shard_batch)."""
+        pc = self.process_count
+        if self.cfg.batch_size % pc:
+            raise ValueError(
+                f"batch_size {self.cfg.batch_size} not divisible by "
+                f"process_count {pc}"
+            )
+        return self.cfg.batch_size // pc
+
     # -- epoch lengths (deadtreedata.py:273 semantics) ---------------------
     @property
     def main_batch_size(self) -> int:
@@ -191,7 +232,16 @@ class DeadtreesDataModule:
 
     @property
     def steps_per_epoch(self) -> int:
-        return len(self.train_shards) * self.shard_size // self.cfg.batch_size
+        """Steps every process can take: bounded by the SMALLEST per-process
+        shard assignment so multi-host collectives never deadlock on an
+        uneven tail epoch."""
+        pc = self.process_count
+        if pc == 1:
+            return len(self.train_shards) * self.shard_size // self.cfg.batch_size
+        min_local = min(
+            len(self.train_shards[p::pc]) for p in range(pc)
+        )
+        return min_local * self.shard_size // self.local_batch_size
 
     # -- device-side finishing --------------------------------------------
     def _finish_batch(
@@ -220,6 +270,8 @@ class DeadtreesDataModule:
         loop: bool,
         rng: jax.Array,
         stream_seed: Optional[int] = None,
+        batch_divisor: int = 1,
+        local_slice: bool = False,
     ) -> Iterator[Dict[str, jnp.ndarray]]:
         cfg = self.cfg
         # stream_seed varies per epoch for training (derived from the epoch
@@ -227,12 +279,21 @@ class DeadtreesDataModule:
         # differ every epoch — the reference's WebDataset pipeline reshuffles
         # per epoch too; a constant seed would replay identical batches.
         seed = cfg.seed if stream_seed is None else stream_seed
+
+        def div(n: int) -> int:
+            if n % batch_divisor:
+                raise ValueError(
+                    f"batch component {n} not divisible by process_count "
+                    f"{batch_divisor}"
+                )
+            return n // batch_divisor
+
         main = _BatchProducer(
             make_sample_stream(
                 main_shards, shuffle=shuffle, seed=seed, loop=loop,
                 prefer_native=cfg.use_native, n_threads=cfg.num_workers,
             ),
-            self.main_batch_size if extra_shards else cfg.batch_size,
+            div(self.main_batch_size if extra_shards else cfg.batch_size),
             cfg,
         )
         extras = [
@@ -241,7 +302,7 @@ class DeadtreesDataModule:
                     shards, shuffle=shuffle, seed=seed + 1 + i, loop=True,
                     prefer_native=cfg.use_native, n_threads=cfg.num_workers,
                 ),
-                bs,
+                div(bs),
                 cfg,
             )
             for i, (shards, bs) in enumerate(
@@ -264,6 +325,15 @@ class DeadtreesDataModule:
                         host_batch["lu"] = np.concatenate(
                             [p.get("lu", np.zeros_like(p["mask"])) for p in parts]
                         )
+                if local_slice:
+                    # eval on >1 hosts: every process streams the same
+                    # batches; each keeps its process slice so the global
+                    # array assembles without duplicated device work
+                    pi, n = self.process_index, self.local_batch_size
+                    host_batch = {
+                        k: (v[pi * n : (pi + 1) * n])
+                        for k, v in host_batch.items()
+                    }
                 rng, sub = jax.random.split(rng)
                 yield self._finish_batch(sub, host_batch, train=train)
         finally:
@@ -276,16 +346,23 @@ class DeadtreesDataModule:
     ) -> Iterator[Dict[str, jnp.ndarray]]:
         assert self._setup_done, "call setup() first"
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        rng = jax.random.fold_in(rng, self.process_index)
         seed_rng, rng = jax.random.split(rng)
         stream_seed = int(jax.random.randint(seed_rng, (), 0, 2**31 - 1))
+        pc = self.process_count
+        extra_local = [
+            (shards[self.process_index::pc] or shards)
+            for shards in self.extra_train_shards
+        ]
         return self._combined_stream(
-            self.train_shards,
-            self.extra_train_shards,
+            self.train_shards_local,
+            extra_local,
             shuffle=max(self.cfg.shuffle_buffer, self.shard_size),
             train=True,
             loop=loop,
             rng=rng,
             stream_seed=stream_seed,
+            batch_divisor=pc,
         )
 
     def val_batches(self) -> Iterator[Dict[str, jnp.ndarray]]:
@@ -297,6 +374,7 @@ class DeadtreesDataModule:
             train=False,
             loop=False,
             rng=jax.random.PRNGKey(0),
+            local_slice=self.process_count > 1,
         )
 
     def test_batches(self) -> Iterator[Dict[str, jnp.ndarray]]:
@@ -306,4 +384,5 @@ class DeadtreesDataModule:
         return self._combined_stream(
             self.test_shards, [], shuffle=0, train=False, loop=False,
             rng=jax.random.PRNGKey(0),
+            local_slice=self.process_count > 1,
         )

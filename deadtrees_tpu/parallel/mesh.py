@@ -71,11 +71,21 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host batch on the mesh, splitting axis 0 across ``data``.
 
-    Replaces the reference's pinned-memory H2D copies done implicitly by
-    Lightning (SURVEY.md §3.1 boundary #1) with an explicit device_put that
-    XLA overlaps with compute.
+    Single process: an explicit device_put that XLA overlaps with compute
+    (replacing the reference's implicit Lightning H2D copies, SURVEY.md §3.1
+    boundary #1). Multi-host: the batch is this process's LOCAL slice (the
+    input pipeline assigns disjoint shards per process) and the global array
+    is assembled with ``jax.make_array_from_process_local_data`` — each
+    host feeds only its addressable devices, nothing crosses DCN.
     """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 

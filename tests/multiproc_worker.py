@@ -1,0 +1,88 @@
+"""Worker for the 2-process data-parallel test (not a test itself).
+
+Usage: python tests/multiproc_worker.py <pid> <nprocs> <port> <outfile>
+
+Each process owns 4 fake CPU devices (xla_force_host_platform_device_count),
+joins a localhost jax.distributed cluster, feeds its process-local slice of
+a deterministic global batch through parallel.shard_batch
+(make_array_from_process_local_data on >1 processes), and runs ONE
+data-parallel train step. The parent test compares the resulting metrics
+against a single-process 8-device run of the same global batch.
+"""
+
+import json
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    outfile = sys.argv[4]
+
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nprocs,
+        process_id=pid,
+    )
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == 4 * nprocs
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import numpy as np
+    import jax.numpy as jnp
+
+    from deadtrees_tpu.models import create_model, init_model
+    from deadtrees_tpu.parallel import create_mesh, replicate, shard_batch
+    from deadtrees_tpu.train import (
+        OptimizerConfig,
+        TrainState,
+        build_loss,
+        make_optimizer,
+        make_train_step,
+    )
+
+    mesh = create_mesh()  # all 8 global devices
+    model = create_model(
+        "unet", "resnet18", in_channels=4, classes=3,
+        decoder_channels=(16, 16, 8, 8, 8), dtype=jnp.float32,
+    )
+    variables = init_model(model, jax.random.PRNGKey(0), image_size=32)
+    tx = make_optimizer(OptimizerConfig(steps_per_epoch=1))
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
+    )
+    state = replicate(state, mesh)
+    loss = build_loss(["GDICE", "FOCAL", "BOUNDARY"], 3)
+    step = make_train_step(model, loss, num_classes=3)
+
+    rng = np.random.default_rng(0)
+    n, local = 8, 8 // nprocs
+    full = {
+        "image": rng.normal(size=(n, 32, 32, 4)).astype(np.float32),
+        "mask": rng.integers(0, 3, size=(n, 32, 32)).astype(np.int32),
+        "distmap": rng.normal(size=(n, 32, 32, 3)).astype(np.float32),
+    }
+    local_batch = {k: v[pid * local : (pid + 1) * local] for k, v in full.items()}
+    batch = shard_batch(local_batch, mesh)
+
+    state, metrics = step(state, batch, jnp.int32(0))
+    out = {k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0}
+    if pid == 0:
+        with open(outfile, "w") as f:
+            json.dump(out, f)
+    print(f"proc {pid}: {out}")
+
+
+if __name__ == "__main__":
+    main()

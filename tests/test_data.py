@@ -71,7 +71,8 @@ def test_split_shards_not_enough():
 # ---------------------------------------------------------------------------
 
 
-def _write_shard(path: Path, n: int, size: int = 32, with_lu: bool = True, seed=0):
+def _write_shard(path: Path, n: int, size: int = 32, with_lu: bool = True, seed=0,
+                 prefix: str = "tile"):
     """Write a wds-style shard with PIL TIFF members like createdataset.py."""
     from PIL import Image
 
@@ -79,7 +80,7 @@ def _write_shard(path: Path, n: int, size: int = 32, with_lu: bool = True, seed=
     keys = []
     with tarfile.open(path, "w") as tf:
         for i in range(n):
-            key = f"tile_{i:04d}"
+            key = f"{prefix}_{i:04d}"
             keys.append(key)
             rgbn = rng.integers(0, 255, (size, size, 4), dtype=np.uint8)
             mask = rng.integers(0, 3, (size, size), dtype=np.uint8)
@@ -273,3 +274,74 @@ def test_train_batches_reshuffle_per_epoch(tmp_path):
     assert sorted(order1) == sorted(order2)  # same samples...
     assert order1 != order2  # ...different order across epochs
     assert order1 == order1_again  # still deterministic given the rng
+
+
+def test_multihost_disjoint_shard_assignment(tmp_path):
+    """Multi-host input sharding (SURVEY §5.8): each process reads a
+    disjoint train-shard subset and yields local batches of
+    batch_size/process_count; together they cover every sample exactly
+    once per epoch."""
+    for i in range(8):
+        _write_shard(tmp_path / f"train-{i:06d}.tar", 8, seed=i, prefix=f"s{i}")
+
+    def make(pi):
+        cfg = DataConfig(
+            data_dir=str(tmp_path), batch_size=4, shuffle_buffer=0,
+            process_index=pi, process_count=2, distmap=False,
+        )
+        dm = DeadtreesDataModule(cfg)
+        dm.setup()
+        return dm
+
+    dm0, dm1 = make(0), make(1)
+    assert dm0.train_shards == dm1.train_shards  # same global view
+    assert set(dm0.train_shards_local).isdisjoint(dm1.train_shards_local)
+    assert sorted(dm0.train_shards_local + dm1.train_shards_local) == sorted(
+        dm0.train_shards
+    )
+    assert dm0.local_batch_size == 2
+    assert dm0.steps_per_epoch == dm1.steps_per_epoch
+
+    import jax
+
+    rng = jax.random.PRNGKey(3)
+    files0 = [f for b in dm0.train_batches(rng) for f in b["files"]]
+    files1 = [f for b in dm1.train_batches(rng) for f in b["files"]]
+    b0 = next(iter(dm0.train_batches(rng)))
+    assert b0["image"].shape[0] == 2  # local batch size
+    # both processes together see every sample exactly once modulo the
+    # dropped partial tail
+    assert len(set(files0) & set(files1)) == 0
+
+
+def test_multihost_eval_slices_cover_batch(tmp_path):
+    """Eval batches stream identically on every process; each keeps its
+    process slice so the assembled global batch is the full batch."""
+    for i in range(8):
+        _write_shard(tmp_path / f"train-{i:06d}.tar", 8, seed=i)
+
+    def val_images(pi):
+        cfg = DataConfig(
+            data_dir=str(tmp_path), batch_size=4, shuffle_buffer=0,
+            process_index=pi, process_count=2, distmap=False,
+        )
+        dm = DeadtreesDataModule(cfg)
+        dm.setup()
+        return [np.asarray(b["image"]) for b in dm.val_batches()]
+
+    v0, v1 = val_images(0), val_images(1)
+    assert len(v0) == len(v1) and len(v0) >= 1
+    assert v0[0].shape[0] == 2  # local slice of the global batch of 4
+    # slices are distinct parts of the same global batch
+    assert not np.allclose(v0[0], v1[0])
+
+
+def test_multihost_batch_size_must_divide(tmp_path):
+    for i in range(5):
+        _write_shard(tmp_path / f"train-{i:06d}.tar", 8, seed=i)
+    cfg = DataConfig(data_dir=str(tmp_path), batch_size=5,
+                     process_index=0, process_count=2)
+    dm = DeadtreesDataModule(cfg)
+    dm.setup()
+    with pytest.raises(ValueError, match="divisible"):
+        _ = dm.local_batch_size
