@@ -41,6 +41,7 @@ def bench_inference(
     iters: int = 20,
     warmup: int = 3,
     decoder_channels=(256, 128, 64, 32, 16),
+    quantized: bool = False,
 ) -> float:
     from deadtrees_tpu.models import create_model
     from deadtrees_tpu.train import make_predict_step
@@ -91,10 +92,28 @@ def bench_inference(
         # a tiny D2H read is the only reliable barrier.
         np.asarray(x[0, 0, :8])
 
-    @jax.jit
-    def run(params, batch_stats, img_u8):
-        x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
-        return predict(params, batch_stats, x)
+    if quantized:  # int8 weight-only serving path (infer/quantize.py)
+        from deadtrees_tpu.infer.quantize import (
+            dequantize_params,
+            quantize_params,
+        )
+
+        params = quantize_params(
+            jax.tree_util.tree_map(np.asarray, params)
+        )
+
+        @jax.jit
+        def run(qparams, batch_stats, img_u8):
+            x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
+            p = dequantize_params(qparams, dtype=jnp.float32)
+            return predict(p, batch_stats, x)
+
+    else:
+
+        @jax.jit
+        def run(params, batch_stats, img_u8):
+            x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
+            return predict(params, batch_stats, x)
 
     for _ in range(warmup):
         pred = run(params, batch_stats, img)
@@ -197,6 +216,10 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument(
+        "--quantized", action="store_true",
+        help="bench the int8 weight-only serving path",
+    )
+    ap.add_argument(
         "--mode", choices=["infer", "train"], default="infer",
         help="train mode benches the full training step at 256px (the "
         "production tile size, protocol batch 32)",
@@ -229,9 +252,11 @@ def main() -> None:
         tiles_per_sec = bench_inference(
             args.architecture, args.encoder,
             image_size=args.image_size, batch_size=args.batch_size,
-            iters=args.iters,
+            iters=args.iters, quantized=args.quantized,
         )
         metric = "infer_512px_tiles_per_sec_per_chip"
+        if args.quantized:
+            metric = "infer_512px_int8_tiles_per_sec_per_chip"
 
     print(
         f"bench[{args.mode}]: {args.architecture}/{args.encoder} "

@@ -73,17 +73,46 @@ class JaxInference(Inference):
         mean: Sequence[float] = DATASET_CONFIG.mean,
         std: Sequence[float] = DATASET_CONFIG.std,
         fused_decoder: bool = False,
+        quantized: bool = False,
     ):
         """``fused_decoder=True`` (efficientunet++ checkpoints only) routes
         the decoder through the Pallas CHW kernels (ops/fused_decoder.py)
         with BatchNorms folded at load — experimental; argmax-equivalent to
-        the flax path (see PERF.md for current end-to-end numbers)."""
+        the flax path (see PERF.md for current end-to-end numbers).
+
+        ``quantized=True`` stores kernels as int8 with per-channel scales
+        (4× smaller weight footprint) and dequantizes inside the compiled
+        program; accuracy delta is measured in tests/test_quantize.py."""
         self.model, self.variables, self.hparams = load_model(checkpoint)
         self.in_channels = _sniff_in_channels(self.variables["params"], self.hparams)
         mean = tuple(mean)[: self.in_channels]
         std = tuple(std)[: self.in_channels]
 
         model = self.model
+        self.quantized = quantized
+        if quantized:
+            from deadtrees_tpu.infer.quantize import (
+                dequantize_params,
+                quantize_params,
+            )
+
+            self.variables = {
+                "params": quantize_params(self.variables["params"]),
+                "batch_stats": self.variables["batch_stats"],
+            }
+
+            @jax.jit
+            def _predict(qparams, batch_stats, img_u8):
+                img = normalize(img_u8.astype(jnp.float32), mean, std)
+                params = dequantize_params(qparams, dtype=model.param_dtype)
+                logits = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    img, train=False,
+                )
+                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+            self._predict = _predict
+            return
 
         if fused_decoder:
             from deadtrees_tpu.ops.fused_decoder import (

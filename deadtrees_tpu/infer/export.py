@@ -37,24 +37,62 @@ def export_inference(
     image_size: int = 256,
     mean=DATASET_CONFIG.mean,
     std=DATASET_CONFIG.std,
+    quantize: bool = False,
 ) -> None:
-    """Checkpoint → serialized AOT artifact with dynamic batch axis."""
+    """Checkpoint → serialized AOT artifact with dynamic batch axis.
+
+    ``quantize=True`` bakes int8 per-channel-scaled kernels into the
+    artifact (~4× smaller, the int8 serving path — quantize.py);
+    dequantization happens inside the exported program."""
     model, variables, hp = load_model(checkpoint)
     in_channels = hp.get("in_channels", 4)
     mean = tuple(mean)[:in_channels]
     std = tuple(std)[:in_channels]
     params, batch_stats = variables["params"], variables["batch_stats"]
 
-    def predict(img_u8):
-        img = normalize(img_u8.astype(jnp.float32), mean, std)
-        logits = model.apply(
-            {"params": params, "batch_stats": batch_stats}, img, train=False
+    weights_payload = None
+    if quantize:
+        from deadtrees_tpu.infer.quantize import (
+            dequantize_params,
+            quantize_params,
         )
-        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        qparams = quantize_params(params)
+
+        # int8 weights travel as an ARGUMENT (serialized alongside the
+        # StableHLO, not baked into it): closed-over constants would be
+        # eagerly dequantized at trace time back to dense f32
+        def predict(qp, img_u8):
+            img = normalize(img_u8.astype(jnp.float32), mean, std)
+            p = dequantize_params(qp, dtype=model.param_dtype)
+            logits = model.apply(
+                {"params": p, "batch_stats": batch_stats}, img, train=False
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        weights_payload = serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, qparams)
+        )
+
+    else:
+
+        def predict(img_u8):
+            img = normalize(img_u8.astype(jnp.float32), mean, std)
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, img, train=False
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
     (b,) = jax_export.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((b, image_size, image_size, in_channels), jnp.uint8)
-    exported = jax_export.export(jax.jit(predict))(spec)
+    if quantize:
+        qspec = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            qparams,
+        )
+        exported = jax_export.export(jax.jit(predict))(qspec, spec)
+    else:
+        exported = jax_export.export(jax.jit(predict))(spec)
 
     payload = {
         "artifact": exported.serialize(),
@@ -63,10 +101,13 @@ def export_inference(
                 "in_channels": in_channels,
                 "image_size": image_size,
                 "classes": hp.get("classes", 3),
+                "quantized": bool(quantize),
                 "hparams": hp,
             }
         ).encode(),
     }
+    if weights_payload is not None:
+        payload["weights"] = weights_payload
     outfile = Path(outfile)
     outfile.parent.mkdir(parents=True, exist_ok=True)
     with open(outfile, "wb") as f:
@@ -86,7 +127,15 @@ def load_exported(
     meta = json.loads(payload["meta"])
     exported = jax_export.deserialize(payload["artifact"])
 
-    def fn(img_u8: np.ndarray):
-        return exported.call(jnp.asarray(img_u8))
+    if "weights" in payload:  # quantized artifact: int8 weights as argument
+        qparams = serialization.msgpack_restore(payload["weights"])
+
+        def fn(img_u8: np.ndarray):
+            return exported.call(qparams, jnp.asarray(img_u8))
+
+    else:
+
+        def fn(img_u8: np.ndarray):
+            return exported.call(jnp.asarray(img_u8))
 
     return fn, meta
