@@ -25,6 +25,11 @@ import time
 if os.environ.get("JAX_PLATFORMS") == "axon":
     os.environ["JAX_PLATFORMS"] = ""
 
+# persistent compile cache: the b5 fwd/bwd programs take 10-25 min to
+# compile cold on this attachment; cache them across bench invocations
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -227,9 +232,10 @@ def main() -> None:
         help="bench the int8 weight-only serving path",
     )
     ap.add_argument(
-        "--mode", choices=["infer", "train"], default="infer",
-        help="train mode benches the full training step at 256px (the "
-        "production tile size, protocol batch 32)",
+        "--mode", choices=["infer", "train", "both"], default="both",
+        help="train benches the full training step at 256px (the "
+        "production tile size); 'both' (default) reports inference as the "
+        "primary metric with the train number as an extra JSON key",
     )
     args = ap.parse_args()
 
@@ -245,6 +251,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    extra = {}
     if args.mode == "train":
         if args.image_size == 512:  # default: train benches at tile size 256
             args.image_size = 256
@@ -264,6 +271,21 @@ def main() -> None:
         metric = "infer_512px_tiles_per_sec_per_chip"
         if args.quantized:
             metric = "infer_512px_int8_tiles_per_sec_per_chip"
+        if args.mode == "both" and platform != "cpu":
+            # train throughput rides along as an extra key (BASELINE.md's
+            # primary metric covers train AND inference)
+            try:
+                train_tps = bench_train(
+                    args.architecture, args.encoder,
+                    image_size=256, batch_size=64, iters=6,
+                )
+                extra["train_512px_tiles_per_sec_per_chip"] = round(train_tps, 2)
+                print(
+                    f"bench[train]: 256px bs=64: {train_tps:.1f} tiles512/s",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # pragma: no cover
+                print(f"bench[train] skipped: {e}", file=sys.stderr)
 
     print(
         f"bench[{args.mode}]: {args.architecture}/{args.encoder} "
@@ -278,6 +300,7 @@ def main() -> None:
                 "value": round(tiles_per_sec, 2),
                 "unit": "tiles/s",
                 "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 4),
+                **extra,
             }
         )
     )
