@@ -143,6 +143,50 @@ def make_attention(
     raise ValueError(f"Attention {name} is not implemented")
 
 
+class PartwiseConv1x1(nn.Module):
+    """1×1 conv applied to a LIST of feature maps by kernel slicing.
+
+    ``conv1x1(concat(parts)) == Σᵢ conv1x1ᵢ(partᵢ)`` with the kernel split
+    along its input axis — identical math and an IDENTICAL parameter
+    ({kernel, bias}) to ``nn.Conv(features, (1, 1))`` on the concatenated
+    input, but XLA never materializes the concatenation. The dense-grid
+    decoder's concats were ~2 extra HBM passes of 100-170-channel tensors
+    at up to 256² (PERF.md r2: 22 ms/call of `concatenate` + their
+    re-reads at bs=128).
+    """
+
+    features: int
+    in_features: int  # total width across parts
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            self.param_dtype,
+        )
+        out = None
+        off = 0
+        for p in parts:
+            c = p.shape[-1]
+            k = kernel[:, :, off : off + c, :].astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                p.astype(self.dtype), k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = y if out is None else out + y
+            off += c
+        assert off == self.in_features, (off, self.in_features)
+        return out + bias.astype(self.dtype)
+
+
 class InvertedResidual(nn.Module):
     """Inverted bottleneck residual with embedded SCSE
     (reference efficientunetplusplus/decoder.py:9-60).
@@ -150,6 +194,11 @@ class InvertedResidual(nn.Module):
     pointwise-expand → BN → hardswish → depthwise → BN → hardswish →
     SCSE(reduction=squeeze_ratio) → pointwise-project → BN, plus a residual
     connection (1×1 conv + BN on the skip when channel counts differ).
+
+    Accepts either one tensor or a LIST of tensors standing for their
+    channel concatenation (dense-grid cells pass the un-materialized
+    parts; the 1×1 expand and skip convs slice their kernels instead —
+    parameter tree unchanged).
     """
 
     features: int
@@ -161,15 +210,26 @@ class InvertedResidual(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        in_ch = x.shape[-1]
+    def __call__(self, x, train: bool = False) -> jnp.ndarray:
+        parts = list(x) if isinstance(x, (list, tuple)) else [x]
+        in_ch = sum(p.shape[-1] for p in parts)
         mid = self.expansion_ratio * in_ch
         norm = lambda: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
 
-        h = nn.Conv(mid, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        if self.expansion_ratio == 1 and self.strides == 1:
+            # expand is 1×1: apply partwise, skipping the concat
+            h = PartwiseConv1x1(
+                mid, in_ch, name="Conv_0",
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )(parts)
+        else:
+            h = nn.Conv(
+                mid, (1, 1), name="Conv_0",
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )(_concat_parts(parts))
         h = norm()(h)
         h = jax.nn.hard_swish(h)
         h = nn.Conv(
@@ -177,6 +237,7 @@ class InvertedResidual(nn.Module):
             strides=(self.strides, self.strides),
             padding="SAME",
             feature_group_count=mid,  # depthwise
+            name="Conv_1",
             dtype=self.dtype, param_dtype=self.param_dtype,
         )(h)
         h = norm()(h)
@@ -185,16 +246,24 @@ class InvertedResidual(nn.Module):
             reduction=self.squeeze_ratio, dtype=self.dtype, param_dtype=self.param_dtype
         )(h)
         h = nn.Conv(
-            self.features, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype
+            self.features, (1, 1), name="Conv_2",
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )(h)
         h = norm()(h)
 
         if in_ch != self.features:
-            x = nn.Conv(
-                self.features, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype
-            )(x)
+            x = PartwiseConv1x1(
+                self.features, in_ch, name="Conv_3",
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )(parts)
             x = norm()(x)
+        else:
+            x = _concat_parts(parts)
         return x + h
+
+
+def _concat_parts(parts) -> jnp.ndarray:
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
 class ASPP(nn.Module):

@@ -58,11 +58,12 @@ class UnetDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, skip: Optional[jnp.ndarray] = None, train: bool = False
+        self, x: jnp.ndarray, skip=None, train: bool = False
     ) -> jnp.ndarray:
         x = upsample2x_nearest(x)
         if skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
+            skips = list(skip) if isinstance(skip, (list, tuple)) else [skip]
+            x = jnp.concatenate([x] + skips, axis=-1)
             x = make_attention(
                 self.attention_type, dtype=self.dtype, param_dtype=self.param_dtype
             )(x)
@@ -174,16 +175,20 @@ class EffUnetPlusPlusDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, skip: Optional[jnp.ndarray] = None, train: bool = False
+        self, x: jnp.ndarray, skip=None, train: bool = False
     ) -> jnp.ndarray:
-        x = upsample2x_nearest(x)
+        # skip may be one tensor or a LIST of same-resolution tensors (the
+        # dense grid's predecessors); the InvertedResidual consumes the
+        # parts without materializing their concatenation (blocks.py
+        # PartwiseConv1x1)
+        parts = [upsample2x_nearest(x)]
         if skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
+            parts += list(skip) if isinstance(skip, (list, tuple)) else [skip]
         x = InvertedResidual(
             self.features,
             expansion_ratio=self.expansion_ratio, squeeze_ratio=self.squeeze_ratio,
             dtype=self.dtype, param_dtype=self.param_dtype,
-        )(x, train)
+        )(parts, train)
         return InvertedResidual(
             self.features,
             expansion_ratio=self.expansion_ratio, squeeze_ratio=self.squeeze_ratio,
@@ -328,10 +333,11 @@ class _DenseGridDecoder(nn.Module):
                         feats[d], feats[d + 1], train
                     )
                 else:
+                    # same-resolution predecessors + encoder skip, passed as
+                    # a LIST — blocks that can, consume it concat-free
                     cat = [dense[(idx, li)] for idx in range(d + 1, li + 1)]
-                    cat = jnp.concatenate(cat + [feats[li + 1]], axis=-1)
                     dense[(d, li)] = self.make_block(out_ch(d, li), f"x_{d}_{li}")(
-                        dense[(d, li - 1)], cat, train
+                        dense[(d, li - 1)], cat + [feats[li + 1]], train
                     )
         return self.make_block(self.decoder_channels[-1], f"x_0_{depth}")(
             dense[(0, depth - 1)], None, train

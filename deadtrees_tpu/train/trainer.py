@@ -84,6 +84,32 @@ class MetricsLogger:
         if self.wandb:
             self.wandb.log(metrics, step=step)
 
+    def log_param_histograms(self, params, step: int) -> None:
+        """W&B watch-model analogue (reference WatchModelWithWandb,
+        wandb_callbacks.py:23-32): per-layer parameter histograms. The
+        torch ``wandb.watch`` hooks don't exist for jax, so histograms are
+        logged explicitly per validation epoch. No-op without W&B."""
+        if not self.wandb:
+            return
+        hists = {}
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+            name = jax.tree_util.keystr(path).strip("'[]").replace("']['", "/")
+            hists[f"params/{name}"] = self.wandb.Histogram(
+                np.asarray(leaf).ravel()
+            )
+        self.wandb.log(hists, step=step)
+
+    def log_artifact(self, path, kind: str = "checkpoint") -> None:
+        """Checkpoint/code artifact upload (reference
+        UploadCheckpointsAsArtifact / UploadCodeAsArtifact,
+        wandb_callbacks.py:52-98). No-op without W&B (this environment has
+        no egress — the CSV/figure files on disk are the offline record)."""
+        if not self.wandb:
+            return
+        art = self.wandb.Artifact(f"run-{kind}", type=kind)
+        art.add_file(str(path))
+        self.wandb.log_artifact(art)
+
     def flush(self) -> None:
         if not self.rows or not self.enabled:
             return
@@ -449,6 +475,10 @@ class Trainer:
                 if self.swa_start is not None and epoch >= self.swa_start:
                     self._update_swa()
 
+                self.metrics.log_param_histograms(
+                    self.state.params, int(self.state.step)
+                )
+
                 monitored = val.get(self.es_monitor, None)
                 if monitored is not None:
                     improved = self.keeper.is_improvement(monitored)
@@ -472,6 +502,7 @@ class Trainer:
         if self.keeper.best_path:
             log.info(f"Best checkpoint path:\n{self.keeper.best_path}")
             result["best_ckpt"] = str(self.keeper.best_path)
+            self.metrics.log_artifact(self.keeper.best_path, "checkpoint")
         if self._swa_params is not None:
             swa_path = self._finalize_swa()
             if swa_path:
