@@ -255,7 +255,7 @@ def main() -> None:
     if args.mode == "train":
         if args.image_size == 512:  # default: train benches at tile size 256
             args.image_size = 256
-            args.batch_size = min(args.batch_size, 64)
+            # bs sweep (256², r2): 32→31, 64→38, 128→54 tiles512/s
         tiles_per_sec = bench_train(
             args.architecture, args.encoder,
             image_size=args.image_size, batch_size=args.batch_size,
@@ -277,11 +277,11 @@ def main() -> None:
             try:
                 train_tps = bench_train(
                     args.architecture, args.encoder,
-                    image_size=256, batch_size=64, iters=6,
+                    image_size=256, batch_size=128, iters=6,
                 )
                 extra["train_512px_tiles_per_sec_per_chip"] = round(train_tps, 2)
                 print(
-                    f"bench[train]: 256px bs=64: {train_tps:.1f} tiles512/s",
+                    f"bench[train]: 256px bs=128: {train_tps:.1f} tiles512/s",
                     file=sys.stderr,
                 )
             except Exception as e:  # pragma: no cover

@@ -143,6 +143,35 @@ def make_attention(
     raise ValueError(f"Attention {name} is not implemented")
 
 
+class Lowres2x:
+    """Marker for a part that stands for ``upsample2x_nearest(tensor)``
+    without materializing it: 1×1 convs COMMUTE with nearest-neighbor
+    upsampling (``conv1x1(up2x(x)) == up2x(conv1x1(x))``), so
+    :class:`PartwiseConv1x1` convolves at LOW resolution (¼ the FLOPs)
+    and the upsampled activation never round-trips HBM."""
+
+    def __init__(self, tensor):
+        self.tensor = tensor
+
+    @property
+    def channels(self) -> int:
+        return self.tensor.shape[-1]
+
+    def materialize(self):
+        return upsample2x_nearest(self.tensor)
+
+
+def _part_channels(p) -> int:
+    return p.channels if isinstance(p, Lowres2x) else p.shape[-1]
+
+
+def materialize_parts(parts) -> jnp.ndarray:
+    """Concat parts (materializing any Lowres2x) — the fallback for
+    consumers that can't stay partwise (3×3 convs, identity skips)."""
+    ts = [p.materialize() if isinstance(p, Lowres2x) else p for p in parts]
+    return ts[0] if len(ts) == 1 else jnp.concatenate(ts, axis=-1)
+
+
 class PartwiseConv1x1(nn.Module):
     """1×1 conv applied to a LIST of feature maps by kernel slicing.
 
@@ -152,7 +181,8 @@ class PartwiseConv1x1(nn.Module):
     input, but XLA never materializes the concatenation. The dense-grid
     decoder's concats were ~2 extra HBM passes of 100-170-channel tensors
     at up to 256² (PERF.md r2: 22 ms/call of `concatenate` + their
-    re-reads at bs=128).
+    re-reads at bs=128). :class:`Lowres2x` parts additionally convolve at
+    low resolution before a (consumer-fused) broadcast upsample.
     """
 
     features: int
@@ -175,12 +205,15 @@ class PartwiseConv1x1(nn.Module):
         out = None
         off = 0
         for p in parts:
-            c = p.shape[-1]
+            c = _part_channels(p)
             k = kernel[:, :, off : off + c, :].astype(self.dtype)
+            t = p.tensor if isinstance(p, Lowres2x) else p
             y = jax.lax.conv_general_dilated(
-                p.astype(self.dtype), k, (1, 1), "SAME",
+                t.astype(self.dtype), k, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+            if isinstance(p, Lowres2x):
+                y = upsample2x_nearest(y)
             out = y if out is None else out + y
             off += c
         assert off == self.in_features, (off, self.in_features)
@@ -212,7 +245,7 @@ class InvertedResidual(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> jnp.ndarray:
         parts = list(x) if isinstance(x, (list, tuple)) else [x]
-        in_ch = sum(p.shape[-1] for p in parts)
+        in_ch = sum(_part_channels(p) for p in parts)
         mid = self.expansion_ratio * in_ch
         norm = lambda: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -229,7 +262,7 @@ class InvertedResidual(nn.Module):
             h = nn.Conv(
                 mid, (1, 1), name="Conv_0",
                 dtype=self.dtype, param_dtype=self.param_dtype,
-            )(_concat_parts(parts))
+            )(materialize_parts(parts))
         h = norm()(h)
         h = jax.nn.hard_swish(h)
         h = nn.Conv(
@@ -258,12 +291,8 @@ class InvertedResidual(nn.Module):
             )(parts)
             x = norm()(x)
         else:
-            x = _concat_parts(parts)
+            x = materialize_parts(parts)
         return x + h
-
-
-def _concat_parts(parts) -> jnp.ndarray:
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
 class ASPP(nn.Module):

@@ -33,12 +33,19 @@ from deadtrees_tpu.models.blocks import (
     ASPP,
     ConvBnAct,
     InvertedResidual,
+    Lowres2x,
     RUPPAttentionBlock,
     make_attention,
     upsample2x_nearest,
 )
 
 Dtype = Any
+
+
+def _lowres_expand_enabled() -> bool:
+    import os
+
+    return os.environ.get("DEADTREES_LOWRES_EXPAND", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -180,8 +187,13 @@ class EffUnetPlusPlusDecoderBlock(nn.Module):
         # skip may be one tensor or a LIST of same-resolution tensors (the
         # dense grid's predecessors); the InvertedResidual consumes the
         # parts without materializing their concatenation (blocks.py
-        # PartwiseConv1x1)
-        parts = [upsample2x_nearest(x)]
+        # PartwiseConv1x1), and the upsampled input stays LOW-RES until
+        # after the 1×1 convs (Lowres2x — conv1x1 commutes with up2x).
+        # DEADTREES_LOWRES_EXPAND=0 disables the low-res trick (it extends
+        # live ranges; see PERF.md r2 for the measured memory trade-off).
+        parts = [
+            Lowres2x(x) if _lowres_expand_enabled() else upsample2x_nearest(x)
+        ]
         if skip is not None:
             parts += list(skip) if isinstance(skip, (list, tuple)) else [skip]
         x = InvertedResidual(
