@@ -42,10 +42,23 @@ from deadtrees_tpu.models.blocks import (
 Dtype = Any
 
 
+def _partwise_grid_enabled() -> bool:
+    """Opt-in: consume dense-grid concats partwise (PartwiseConv1x1).
+
+    Measured trade-off (r2, PERF.md): removes the materialized concats
+    (~22 ms/call at bs=128/512²) but blows XLA compile time from ~18 to
+    >50 min for the flagship — the partwise graph carries ~60 extra
+    distinct conv shapes. Off by default until compile cost is tamed.
+    """
+    import os
+
+    return os.environ.get("DEADTREES_PARTWISE_GRID", "0") == "1"
+
+
 def _lowres_expand_enabled() -> bool:
     import os
 
-    return os.environ.get("DEADTREES_LOWRES_EXPAND", "1") != "0"
+    return os.environ.get("DEADTREES_LOWRES_EXPAND", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -185,22 +198,33 @@ class EffUnetPlusPlusDecoderBlock(nn.Module):
         self, x: jnp.ndarray, skip=None, train: bool = False
     ) -> jnp.ndarray:
         # skip may be one tensor or a LIST of same-resolution tensors (the
-        # dense grid's predecessors); the InvertedResidual consumes the
-        # parts without materializing their concatenation (blocks.py
-        # PartwiseConv1x1), and the upsampled input stays LOW-RES until
-        # after the 1×1 convs (Lowres2x — conv1x1 commutes with up2x).
-        # DEADTREES_LOWRES_EXPAND=0 disables the low-res trick (it extends
-        # live ranges; see PERF.md r2 for the measured memory trade-off).
-        parts = [
-            Lowres2x(x) if _lowres_expand_enabled() else upsample2x_nearest(x)
-        ]
-        if skip is not None:
-            parts += list(skip) if isinstance(skip, (list, tuple)) else [skip]
+        # dense grid's predecessors). With DEADTREES_PARTWISE_GRID=1 the
+        # InvertedResidual consumes the parts without materializing their
+        # concatenation (blocks.py PartwiseConv1x1), optionally keeping the
+        # upsampled input LOW-RES through the 1×1 convs
+        # (DEADTREES_LOWRES_EXPAND=1; conv1x1 commutes with up2x). Both are
+        # opt-in: see _partwise_grid_enabled for the measured trade-offs.
+        skips = (
+            (list(skip) if isinstance(skip, (list, tuple)) else [skip])
+            if skip is not None
+            else []
+        )
+        if _partwise_grid_enabled():
+            up = (
+                Lowres2x(x) if _lowres_expand_enabled()
+                else upsample2x_nearest(x)
+            )
+            first_in = [up] + skips
+        else:
+            up = upsample2x_nearest(x)
+            first_in = (
+                jnp.concatenate([up] + skips, axis=-1) if skips else up
+            )
         x = InvertedResidual(
             self.features,
             expansion_ratio=self.expansion_ratio, squeeze_ratio=self.squeeze_ratio,
             dtype=self.dtype, param_dtype=self.param_dtype,
-        )(parts, train)
+        )(first_in, train)
         return InvertedResidual(
             self.features,
             expansion_ratio=self.expansion_ratio, squeeze_ratio=self.squeeze_ratio,

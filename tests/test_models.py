@@ -150,3 +150,30 @@ def test_gradients_flow_everywhere():
     flat = jax.tree_util.tree_leaves(grads)
     n_nonzero = sum(int(np.any(np.asarray(g) != 0)) for g in flat)
     assert n_nonzero / len(flat) > 0.95
+
+
+def test_partwise_grid_matches_default(monkeypatch, rng):
+    """Opt-in partwise/lowres grid must be numerically equivalent to the
+    default concat path (same params, same logits)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from deadtrees_tpu.models import create_model, init_model
+
+    model = create_model(
+        "efficientunet++", "timm-efficientnet-b0", in_channels=4, classes=3,
+        decoder_channels=(16, 16, 8, 8, 8), dtype=jnp.float32,
+    )
+    variables = init_model(model, jax.random.PRNGKey(0), image_size=32)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 4)).astype(np.float32))
+
+    monkeypatch.delenv("DEADTREES_PARTWISE_GRID", raising=False)
+    ref = model.apply(variables, x, train=False)
+
+    monkeypatch.setenv("DEADTREES_PARTWISE_GRID", "1")
+    monkeypatch.setenv("DEADTREES_LOWRES_EXPAND", "1")
+    got = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
