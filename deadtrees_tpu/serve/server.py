@@ -71,9 +71,18 @@ class SegmentationService:
             raise ValueError("Need a checkpoint and/or exported artifact")
 
     def segment(
-        self, file_bytes: bytes, model_type: Optional[str] = None
+        self,
+        file_bytes: bytes,
+        model_type: Optional[str] = None,
+        packed: bool = False,
     ) -> Tuple[bytes, Dict[str, str]]:
-        """image bytes → (PNG mask bytes, stats headers)."""
+        """image bytes → (mask bytes, stats headers).
+
+        ``packed=True`` returns the raw 2-bit class map (4 px/byte,
+        infer/packing.py — 4× smaller than the uint8 map, ~40× smaller
+        than the PNG for large scenes) with X-Packed-Shape in the headers;
+        default stays the reference's PNG (mask × 255,
+        deployment/server.py:111-128)."""
         from PIL import Image
 
         model_type = model_type or next(iter(self.engines))
@@ -87,7 +96,6 @@ class SegmentationService:
         with record_execution_time() as elapsed:
             out = engine.run(arr)[0]
 
-        png = Image.fromarray(np.uint8(out * 255), "L")
         fraction = float((out > 0).sum() / out.size)
         stats = PredictionStats(
             fraction=fraction,
@@ -95,9 +103,19 @@ class SegmentationService:
             model_type=model_type,
             elapsed=elapsed(),
         )
+        headers = predictionstats_to_str(stats)
+
+        if packed:
+            from deadtrees_tpu.infer.packing import pack2
+
+            body = np.asarray(pack2(out.astype(np.uint8))).tobytes()
+            headers["X-Packed-Shape"] = f"{out.shape[0]},{out.shape[1]}"
+            return body, headers
+
+        png = Image.fromarray(np.uint8(out * 255), "L")
         buf = io.BytesIO()
         png.save(buf, format="PNG")
-        return buf.getvalue(), predictionstats_to_str(stats)
+        return buf.getvalue(), headers
 
 
 def create_app(
@@ -119,9 +137,14 @@ def create_app(
         return LANDING_HTML
 
     @app.post("/segmentation")
-    def get_segmentation_map(file: bytes = File(...), model_type: Optional[str] = None):
-        png, headers = service.segment(file, model_type)
-        return Response(png, headers=headers, media_type="image/png")
+    def get_segmentation_map(
+        file: bytes = File(...),
+        model_type: Optional[str] = None,
+        packed: bool = False,
+    ):
+        body, headers = service.segment(file, model_type, packed=packed)
+        media = "application/octet-stream" if packed else "image/png"
+        return Response(body, headers=headers, media_type=media)
 
     return app
 
@@ -159,9 +182,11 @@ def serve_stdlib(
             ctype = self.headers.get("Content-Type", "")
             if "multipart/form-data" in ctype:
                 body = _extract_multipart_file(body, ctype)
-            model_type = (parse_qs(parsed.query).get("model_type") or [None])[0]
+            q = parse_qs(parsed.query)
+            model_type = (q.get("model_type") or [None])[0]
+            packed = (q.get("packed") or ["0"])[0] in ("1", "true")
             try:
-                png, headers = service.segment(body, model_type)
+                png, headers = service.segment(body, model_type, packed=packed)
             except ValueError as e:
                 msg = json.dumps({"error": str(e)}).encode()
                 self.send_response(400)
@@ -171,7 +196,10 @@ def serve_stdlib(
                 self.wfile.write(msg)
                 return
             self.send_response(200)
-            self.send_header("Content-Type", "image/png")
+            self.send_header(
+                "Content-Type",
+                "application/octet-stream" if packed else "image/png",
+            )
             for k, v in headers.items():
                 self.send_header(k, v)
             self.send_header("Content-Length", str(len(png)))

@@ -160,6 +160,22 @@ def test_http_server_roundtrip(ckpt_path):
         assert "X-fraction" in resp.headers
         assert float(resp.headers["X-elapsed"]) > 0
 
+        # packed 2-bit wire format
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/segmentation?packed=1",
+            data=buf.getvalue(), method="POST",
+        )
+        resp = urllib.request.urlopen(req)
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "application/octet-stream"
+        h, w = map(int, resp.headers["X-Packed-Shape"].split(","))
+        assert (h, w) == (64, 64)
+        raw = np.frombuffer(resp.read(), np.uint8).reshape(h, w // 4)
+        from deadtrees_tpu.infer.packing import unpack2
+
+        classes = unpack2(raw, w)
+        assert classes.shape == (64, 64) and classes.max() <= 2
+
         # bad model type -> 400
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/segmentation?model_type=onnx",
