@@ -99,33 +99,29 @@ def bench_inference(
 
     from deadtrees_tpu.infer.packing import pack2
 
-    if quantized:  # int8 weight-only serving path (infer/quantize.py)
+    if quantized:
+        # int8 weight-only serving: weights round-trip through int8 ONCE
+        # at load into bf16 (in-graph dequant measured 3.4x slower —
+        # weight prefetch defeated; infer/quantize.py)
         from deadtrees_tpu.infer.quantize import (
             dequantize_params,
             quantize_params,
         )
 
-        params = quantize_params(
-            jax.tree_util.tree_map(np.asarray, params)
+        params = dequantize_params(
+            quantize_params(jax.tree_util.tree_map(np.asarray, params)),
+            dtype=jnp.bfloat16,
         )
 
-        @jax.jit
-        def run(qparams, batch_stats, img_u8):
-            x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
-            p = dequantize_params(qparams, dtype=jnp.float32)
-            return pack2(predict(p, batch_stats, x).astype(jnp.uint8))
-
-    else:
-
-        @jax.jit
-        def run(params, batch_stats, img_u8):
-            x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
-            # 2-bit packed class map: the serving wire format
-            # (infer/packing.py). On this benchmarking attachment the
-            # per-dispatch cost scales with OUTPUT bytes (~150-270 MB/s
-            # marshalling, PERF.md r2), so the full uint8 map would add
-            # ~120 ms/call of pure transfer artifact at bs=128/512².
-            return pack2(predict(params, batch_stats, x).astype(jnp.uint8))
+    @jax.jit
+    def run(params, batch_stats, img_u8):
+        x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
+        # 2-bit packed class map: the serving wire format
+        # (infer/packing.py). On this benchmarking attachment the
+        # per-dispatch cost scales with OUTPUT bytes (~150-270 MB/s
+        # marshalling, PERF.md r2), so the full uint8 map would add
+        # ~120 ms/call of pure transfer artifact at bs=128/512².
+        return pack2(predict(params, batch_stats, x).astype(jnp.uint8))
 
     for _ in range(warmup):
         pred = run(params, batch_stats, img)

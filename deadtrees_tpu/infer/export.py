@@ -52,26 +52,22 @@ def export_inference(
 
     weights_payload = None
     if quantize:
-        from deadtrees_tpu.infer.quantize import (
-            dequantize_params,
-            quantize_params,
-        )
+        from deadtrees_tpu.infer.quantize import quantize_params
 
-        qparams = quantize_params(params)
-
-        # int8 weights travel as an ARGUMENT (serialized alongside the
-        # StableHLO, not baked into it): closed-over constants would be
-        # eagerly dequantized at trace time back to dense f32
-        def predict(qp, img_u8):
+        # int8 weights travel in the payload (4× smaller artifact); the
+        # exported program takes BF16 weights as an ARGUMENT and the
+        # loader dequantizes ONCE at load. Dequantizing inside the program
+        # measured 3.4× slower (weight prefetch defeated); baking weights
+        # as closed-over constants would eagerly fold back to dense f32.
+        def predict(p, img_u8):
             img = normalize(img_u8.astype(jnp.float32), mean, std)
-            p = dequantize_params(qp, dtype=model.param_dtype)
             logits = model.apply(
                 {"params": p, "batch_stats": batch_stats}, img, train=False
             )
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
         weights_payload = serialization.msgpack_serialize(
-            jax.tree_util.tree_map(np.asarray, qparams)
+            jax.tree_util.tree_map(np.asarray, quantize_params(params))
         )
 
     else:
@@ -86,11 +82,19 @@ def export_inference(
     (b,) = jax_export.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((b, image_size, image_size, in_channels), jnp.uint8)
     if quantize:
-        qspec = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
-            qparams,
+        from deadtrees_tpu.infer.quantize import (
+            dequantize_params,
+            quantize_params,
         )
-        exported = jax_export.export(jax.jit(predict))(qspec, spec)
+
+        bf16_params = dequantize_params(
+            quantize_params(params), dtype=jnp.bfloat16
+        )
+        pspec = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            bf16_params,
+        )
+        exported = jax_export.export(jax.jit(predict))(pspec, spec)
     else:
         exported = jax_export.export(jax.jit(predict))(spec)
 
@@ -127,11 +131,19 @@ def load_exported(
     meta = json.loads(payload["meta"])
     exported = jax_export.deserialize(payload["artifact"])
 
-    if "weights" in payload:  # quantized artifact: int8 weights as argument
-        qparams = serialization.msgpack_restore(payload["weights"])
+    if "weights" in payload:  # quantized artifact: int8 weights in payload
+        from deadtrees_tpu.infer.quantize import dequantize_params
+
+        # dequantize ONCE at load; the program takes bf16 weight args
+        params = jax.device_put(
+            dequantize_params(
+                serialization.msgpack_restore(payload["weights"]),
+                dtype=jnp.bfloat16,
+            )
+        )
 
         def fn(img_u8: np.ndarray):
-            return exported.call(qparams, jnp.asarray(img_u8))
+            return exported.call(params, jnp.asarray(img_u8))
 
     else:
 
