@@ -33,12 +33,17 @@ STATUS:
   (C,1,1) (Mosaic can't lower 1D→3D expands), f32 or bf16 (window rows
   respect the dtype's sublane tile). Measured 4.0×/3.1×/1.3× over the
   isolated XLA block at 512²C16 / 256²C32 / 128²C64 (bs 32, v5e), exact
-  argmax parity on the full flagship. End-to-end the fused decoder
-  (ops/fused_decoder.py) is still 0.76× vs the flax model — NHWC↔CHW
-  transposes, per-block h materialization, and XLA's cross-block fusion
-  eat the win. Round-2 plan: whole-decoder CHW residency, fuse
-  upsample+concat into pass 1, chain pass2(k)+pass1(k+1) to skip the h
-  round trip. Until then the flax path remains the production decoder.
+  argmax parity on the full flagship.
+
+ROUND-2 VERDICT (PERF.md r2): at the production batch size (bs=128) the
+per-IMAGE grid serializes into thousands of tiny steps and the kernel
+LOSES outright — 19 ms for one 256²C32 block vs ~5 ms XLA, 181 vs 305
+tiles/s end-to-end — and the big decoder cells (C≥64 at 256²) have no
+VMEM-feasible tile at all. Batch-in-lanes redesigns were evaluated and
+also hit walls (GEMM M-utilization or VMEM at B=128; see
+ops/depthwise.py and PERF.md). The flax path IS the production decoder;
+these kernels remain for small-batch/latency-oriented serving
+(`JaxInference(fused_decoder=True)`) where their original wins apply.
 """
 
 from __future__ import annotations
