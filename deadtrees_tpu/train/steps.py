@@ -63,13 +63,19 @@ def _select(pred: jnp.ndarray, a: Any, b: Any) -> Any:
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def make_train_step(model, loss: CompoundLoss, *, num_classes: int):
+def make_train_step(
+    model, loss: CompoundLoss, *, num_classes: int, remat: bool = False
+):
     """Build the jitted train step.
 
     Returns ``train_step(state, batch, epoch, frozen=False)``; ``frozen`` is
     static (two compile-cache entries across a whole run).
     ``batch`` is a dict with 'image' (B,H,W,C) f32, 'mask' (B,H,W) int32 and
     optionally 'distmap' (B,H,W,K) f32.
+
+    ``remat=True`` checkpoints the model forward: the backward recomputes
+    activations instead of saving them — trades ~one extra forward for
+    the HBM spills a batch-128 step otherwise incurs (see PERF.md r2).
     """
 
     @partial(jax.jit, static_argnames=("frozen",), donate_argnums=(0,))
@@ -83,14 +89,20 @@ def make_train_step(model, loss: CompoundLoss, *, num_classes: int):
         mask = batch["mask"]
         distmap = batch.get("distmap")
 
-        def loss_fn(params):
-            logits, mut = model.apply(
+        def forward(params, img):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 img,
                 train=True,
                 encoder_train=not frozen,
                 mutable=["batch_stats"],
             )
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            logits, mut = forward(params, img)
             y = class2one_hot(mask, num_classes)
             probs = jax.nn.softmax(logits, axis=-1)
             total, parts = loss(

@@ -190,3 +190,51 @@ def test_dice_and_gdice_mutually_exclusive():
         build_loss(["GDICE", "DICE"], NUM_CLASSES)
     with pytest.raises(AssertionError):
         build_loss(["FOCAL"], NUM_CLASSES)  # dice-family term required
+
+
+def test_remat_step_matches_default():
+    """remat=True must compute identical updates (it only changes what is
+    saved for the backward)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from deadtrees_tpu.models import create_model, init_model
+    from deadtrees_tpu.train import (
+        OptimizerConfig,
+        TrainState,
+        build_loss,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = create_model("unet", "resnet18", in_channels=4, classes=3,
+                         decoder_channels=(8, 8, 8, 8, 8), dtype=jnp.float32)
+    variables = init_model(model, jax.random.PRNGKey(0), image_size=32)
+    loss = build_loss(["GDICE", "FOCAL"], 3)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 32, 32, 4)).astype(np.float32)),
+        "mask": jnp.asarray(rng.integers(0, 3, (2, 32, 32)).astype(np.int32)),
+    }
+
+    outs = []
+    for remat in (False, True):
+        tx = make_optimizer(OptimizerConfig(steps_per_epoch=1))
+        state = TrainState.create(
+            params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.copy, variables["batch_stats"]),
+            tx=tx,
+        )
+        step = make_train_step(model, loss, num_classes=3, remat=remat)
+        new_state, metrics = step(state, dict(batch), jnp.int32(0))
+        outs.append((new_state, metrics))
+
+    (s0, m0), (s1, m1) = outs
+    assert abs(float(m0["total_loss"]) - float(m1["total_loss"])) < 1e-6
+    leaves0 = jax.tree_util.tree_leaves(s0.params)
+    leaves1 = jax.tree_util.tree_leaves(s1.params)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
