@@ -276,25 +276,38 @@ def main() -> None:
         metric = "infer_512px_tiles_per_sec_per_chip"
         if args.quantized:
             metric = "infer_512px_int8_tiles_per_sec_per_chip"
-        if args.mode == "both" and platform != "cpu" and (
-            time.perf_counter() - t_start < 1200
-        ):
+        if args.mode == "both" and platform != "cpu":
             # train throughput rides along as an extra key (BASELINE.md's
-            # primary metric covers train AND inference); skipped when the
-            # inference compile already ran cold for 20+ min so the whole
-            # bench stays within a driver-friendly budget
-            try:
-                train_tps = bench_train(
-                    args.architecture, args.encoder,
-                    image_size=256, batch_size=128, iters=6,
+            # primary metric covers train AND inference). Never silently
+            # dropped: when the inference compile already ran cold for 20+
+            # min (budget), the key carries a machine-readable skip reason.
+            if time.perf_counter() - t_start >= 1200:
+                extra["train_512px_tiles_per_sec_per_chip"] = (
+                    "skipped(cold-compile-budget)"
                 )
-                extra["train_512px_tiles_per_sec_per_chip"] = round(train_tps, 2)
                 print(
-                    f"bench[train]: 256px bs=128: {train_tps:.1f} tiles512/s",
-                    file=sys.stderr,
+                    "bench[train] skipped: inference compile ran cold 20+ "
+                    "min; re-run (compile cache is warm now) for the train "
+                    "number", file=sys.stderr,
                 )
-            except Exception as e:  # pragma: no cover
-                print(f"bench[train] skipped: {e}", file=sys.stderr)
+            else:
+                try:
+                    train_tps = bench_train(
+                        args.architecture, args.encoder,
+                        image_size=256, batch_size=128, iters=6,
+                    )
+                    extra["train_512px_tiles_per_sec_per_chip"] = round(
+                        train_tps, 2
+                    )
+                    print(
+                        f"bench[train]: 256px bs=128: {train_tps:.1f} "
+                        "tiles512/s", file=sys.stderr,
+                    )
+                except Exception as e:  # pragma: no cover
+                    extra["train_512px_tiles_per_sec_per_chip"] = (
+                        f"skipped({type(e).__name__})"
+                    )
+                    print(f"bench[train] skipped: {e}", file=sys.stderr)
 
     print(
         f"bench[{args.mode}]: {args.architecture}/{args.encoder} "
@@ -309,6 +322,10 @@ def main() -> None:
                 "value": round(tiles_per_sec, 2),
                 "unit": "tiles/s",
                 "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 4),
+                # methodology marker (ADVICE r2): the timed program packs the
+                # class map 2-bit (serving wire format) and the reported
+                # value is the best of 3 steady-state windows
+                "timing": "best_of_3_windows_pack2",
                 **extra,
             }
         )

@@ -328,7 +328,12 @@ class DeadtreesDataModule:
                 if local_slice:
                     # eval on >1 hosts: every process streams the same
                     # batches; each keeps its process slice so the global
-                    # array assembles without duplicated device work
+                    # array assembles without duplicated device work.
+                    # Host DECODE work is duplicated (O(process_count)) —
+                    # deliberately: identical iteration order on all hosts
+                    # is deadlock-proof with zero coordination. Fine for
+                    # the 2-8 host pods this targets; beyond that, switch
+                    # val to per-process disjoint shards + a padded tail.
                     pi, n = self.process_index, self.local_batch_size
                     host_batch = {
                         k: (v[pi * n : (pi + 1) * n])

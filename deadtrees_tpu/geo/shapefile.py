@@ -136,9 +136,11 @@ def read_prj(path: Union[str, Path]) -> Optional[str]:
 # with numeric/character DBF attributes — is emitted directly.
 
 
-def _ensure_clockwise(ring: Ring) -> Ring:
-    """ESRI outer rings must be clockwise (negative shoelace area)."""
-    return ring if ring_signed_area(ring) <= 0 else ring[::-1]
+def _orient_ring(ring: Ring, *, hole: bool) -> Ring:
+    """ESRI outer rings must be clockwise (negative shoelace area); holes
+    (inner rings) must be counter-clockwise."""
+    cw = ring_signed_area(ring) <= 0
+    return ring if cw != hole else ring[::-1]
 
 
 def _close_ring(ring: Ring) -> Ring:
@@ -146,7 +148,11 @@ def _close_ring(ring: Ring) -> Ring:
 
 
 def _shp_polygon_record(rings: List[Ring]) -> bytes:
-    rings = [_close_ring(_ensure_clockwise(r)) for r in rings]
+    # First ring = outer boundary, subsequent rings = holes (the convention
+    # used throughout this package's rasterizer and the reference data).
+    rings = [
+        _close_ring(_orient_ring(r, hole=i > 0)) for i, r in enumerate(rings)
+    ]
     points = [p for r in rings for p in r]
     xs = [p[0] for p in points]
     ys = [p[1] for p in points]

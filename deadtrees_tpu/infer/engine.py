@@ -80,9 +80,13 @@ class JaxInference(Inference):
         with BatchNorms folded at load — experimental; argmax-equivalent to
         the flax path (see PERF.md for current end-to-end numbers).
 
-        ``quantized=True`` stores kernels as int8 with per-channel scales
-        (4× smaller weight footprint) and dequantizes inside the compiled
-        program; accuracy delta is measured in tests/test_quantize.py."""
+        ``quantized=True`` round-trips kernels through per-channel int8
+        ONCE at load time and then runs the normal bf16/f32 program — it
+        simulates serving from a 4× smaller int8 artifact (the footprint
+        win lives in export.py's ``quantize=`` payload) and measures the
+        accuracy delta (tests/test_quantize.py). It does NOT keep int8
+        weights in HBM: in-graph dequantization was measured 3.4× slower
+        (defeats XLA weight prefetch) and rejected."""
         self.model, self.variables, self.hparams = load_model(checkpoint)
         self.in_channels = _sniff_in_channels(self.variables["params"], self.hparams)
         mean = tuple(mean)[: self.in_channels]
@@ -163,11 +167,17 @@ class JaxInference(Inference):
 
 
 class EnsembleInference(Inference):
-    """Odd-N majority vote over models with IDENTICAL architecture.
+    """Odd-N majority vote over model checkpoints.
 
-    The reference loads N checkpoints and modes their argmaxes
-    (inference.py:65-116); here the N parameter sets are stacked and the
-    whole ensemble runs as one vmapped compiled program.
+    The reference loads N arbitrary checkpoints and modes their argmaxes
+    (inference.py:65-116). Two execution strategies:
+
+    - all members share hparams (the common case): the N parameter sets
+      are stacked and the whole ensemble runs as ONE vmapped compiled
+      program — a single dispatch per batch;
+    - mixed architectures/encoders: each member runs its own jitted
+      predict (sequential dispatches, reference semantics) and the votes
+      are summed on host. Members must agree on ``classes``.
     """
 
     def __init__(
@@ -187,47 +197,69 @@ class EnsembleInference(Inference):
             models.append((m, hp))
             variables_list.append(v)
         hp0 = models[0][1]
-        for _, hp in models[1:]:
-            if hp != hp0:
-                raise ValueError("Ensemble members must share hparams")
+        self.homogeneous = all(hp == hp0 for _, hp in models[1:])
         self.model = models[0][0]
         self.hparams = hp0
         self.num_classes = hp0.get("classes", 3)
+        for _, hp in models[1:]:
+            if hp.get("classes", 3) != self.num_classes:
+                raise ValueError(
+                    "Ensemble members must agree on `classes` "
+                    f"({[h.get('classes', 3) for _, h in models]})"
+                )
         self.in_channels = _sniff_in_channels(variables_list[0]["params"], hp0)
-        mean = tuple(mean)[: self.in_channels]
-        std = tuple(std)[: self.in_channels]
 
-        self.stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *variables_list
-        )
-        model = self.model
-        k = self.num_classes
+        if self.homogeneous:
+            mean_h = tuple(mean)[: self.in_channels]
+            std_h = tuple(std)[: self.in_channels]
+            self.stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *variables_list
+            )
+            model = self.model
+            k = self.num_classes
 
-        @jax.jit
-        def _predict(stacked_vars, img_u8):
-            img = normalize(img_u8.astype(jnp.float32), mean, std)
+            @jax.jit
+            def _predict(stacked_vars, img_u8):
+                img = normalize(img_u8.astype(jnp.float32), mean_h, std_h)
 
-            def single(variables):
-                logits = model.apply(variables, img, train=False)
-                return jnp.argmax(logits, axis=-1)
+                def single(variables):
+                    logits = model.apply(variables, img, train=False)
+                    return jnp.argmax(logits, axis=-1)
 
-            preds = jax.vmap(single)(stacked_vars)  # (M, B, H, W)
-            votes = jax.nn.one_hot(preds, k, dtype=jnp.int32).sum(axis=0)
-            # torch.mode returns the SMALLEST mode on ties; argmax picks the
-            # first maximum, which is the same class index ordering.
-            # NOTE: vmapped convs may differ from the unvmapped program by an
-            # ulp, so pixels whose top-2 logits are near-tied can vote
-            # differently than a single-model run — observed at O(1e-4) of
-            # pixels; inherent to batched-vs-loop fp lowering, not a bug.
-            return jnp.argmax(votes, axis=-1).astype(jnp.uint8)
+                preds = jax.vmap(single)(stacked_vars)  # (M, B, H, W)
+                votes = jax.nn.one_hot(preds, k, dtype=jnp.int32).sum(axis=0)
+                # torch.mode returns the SMALLEST mode on ties; argmax picks
+                # the first maximum, which is the same class index ordering.
+                # NOTE: vmapped convs may differ from the unvmapped program
+                # by an ulp, so pixels whose top-2 logits are near-tied can
+                # vote differently than a single-model run — observed at
+                # O(1e-4) of pixels; inherent to batched-vs-loop fp
+                # lowering, not a bug.
+                return jnp.argmax(votes, axis=-1).astype(jnp.uint8)
 
-        self._predict = _predict
+            self._predict = _predict
+        else:
+            # Heterogeneous fallback: one JaxInference per member. Slower
+            # (N dispatches) but matches the reference's anything-goes
+            # member loading. in_channels may differ per member; run()
+            # slices per member, so keep the WIDEST input here.
+            self._members = [
+                JaxInference(c, mean=mean, std=std) for c in checkpoints
+            ]
+            self.in_channels = max(m.in_channels for m in self._members)
 
     def run(self, batch: np.ndarray) -> np.ndarray:
         batch = np.asarray(batch)
         if batch.shape[-1] > self.in_channels:
             batch = batch[..., : self.in_channels]
-        return np.asarray(self._predict(self.stacked, batch))
+        if self.homogeneous:
+            return np.asarray(self._predict(self.stacked, batch))
+        votes = np.zeros(batch.shape[:3] + (self.num_classes,), np.int32)
+        classes = np.arange(self.num_classes)
+        for member in self._members:
+            preds = member.run(batch)  # member slices its own channels
+            votes += (preds[..., None] == classes).astype(np.int32)
+        return np.argmax(votes, axis=-1).astype(np.uint8)
 
 
 class ExportedInference(Inference):

@@ -9,12 +9,15 @@ symmetric scales:
   channel, ``w ≈ q * scale``;
 - biases and BatchNorm parameters/stats stay f32 (tiny, precision-critical).
 
-Dequantization happens INSIDE the jitted program (int8 weights live in HBM
-at 4× less footprint; XLA fuses the convert into the consuming conv), so
-checkpoint artifacts and weight HBM traffic shrink 4× while activations
-stay bf16. Accuracy impact is measured, not assumed:
-:func:`argmax_agreement` reports the fraction of pixels whose predicted
-class matches the unquantized model (tests/test_quantize.py).
+Int8 here is a STORAGE/WIRE format, not an execution format: artifacts
+(export.py ``quantize=``) and checkpoints shrink ~4×, and the weights are
+dequantized ONCE at load time into bf16/f32 device arrays before the
+jitted program runs. Dequantizing inside the compiled program was measured
+3.4× slower (computed weights defeat XLA's weight prefetch — PERF.md r2)
+and was rejected; do not re-introduce it. Accuracy impact is measured,
+not assumed: :func:`argmax_agreement` reports the fraction of pixels
+whose predicted class matches the unquantized model
+(tests/test_quantize.py).
 """
 
 from __future__ import annotations

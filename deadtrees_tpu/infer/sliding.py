@@ -36,7 +36,7 @@ def make_scene_predictor(
     model,
     *,
     subtile: int = 256,
-    batch_size: int = 64,
+    batch_size: int = 128,
     mean: Sequence[float] = DATASET_CONFIG.mean,
     std: Sequence[float] = DATASET_CONFIG.std,
     mesh=None,
@@ -44,12 +44,19 @@ def make_scene_predictor(
 ) -> Callable:
     """Build ``predict(params, batch_stats, scene_u8, valid) -> class map``.
 
-    ``packed=True`` returns the 2-bit packed map (infer/packing.py,
-    (TH, TW//4) uint8) — 4× less device→host transfer per scene;
-    ``predict_scene`` uses it transparently and unpacks on host.
+    ``scene_u8`` is one scene (TH, TW, C) or a SCENE BATCH (S, TH, TW, C)
+    with ``valid`` (N,) / (S, N). Batching scenes is the throughput lever:
+    one 2048² scene yields only 64 subtiles of 256² — below the chip's
+    bs=128 sweet spot — so the driver should feed 2+ scenes per dispatch
+    (``predict_scenes`` does); all scenes' subtiles run through shared
+    full-size model sub-batches.
 
-    One compile per distinct padded scene shape; scenes padded by the Tiler
-    to a fixed ``tile_shape`` hit the cache every time.
+    ``packed=True`` returns the 2-bit packed map (infer/packing.py,
+    (…, TH, TW//4) uint8) — 4× less device→host transfer per scene;
+    ``predict_scene(s)`` uses it transparently and unpacks on host.
+
+    One compile per distinct padded scene-batch shape; scenes padded by the
+    Tiler to a fixed ``tile_shape`` hit the cache every time.
 
     ``mesh``: a :class:`jax.sharding.Mesh` with a ``data`` axis enables
     spatial parallelism — the subtile batch inside each chunk is sharded
@@ -67,13 +74,18 @@ def make_scene_predictor(
 
     @partial(jax.jit, static_argnames=())
     def predict(params, batch_stats, scene_u8, valid):
-        th, tw, c = scene_u8.shape
+        squeeze = scene_u8.ndim == 3
+        if squeeze:
+            scene_u8 = scene_u8[None]
+            valid = valid[None]
+        ns, th, tw, c = scene_u8.shape
         m = tuple(mean)[:c]
         s = tuple(std)[:c]
 
-        blocks = make_blocks_nhwc(scene_u8, subtile)  # (N, d, d, C)
-        n = blocks.shape[0]
-        pad = (-n) % batch_size
+        blocks = jax.vmap(lambda sc: make_blocks_nhwc(sc, subtile))(scene_u8)
+        n = blocks.shape[1]  # subtiles per scene
+        blocks = blocks.reshape(ns * n, subtile, subtile, c)
+        pad = (-(ns * n)) % batch_size
         blocks = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0), (0, 0)))
         chunks = blocks.reshape(-1, batch_size, subtile, subtile, c)
         if chunk_sharding is not None:
@@ -87,16 +99,18 @@ def make_scene_predictor(
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
         preds = jax.lax.map(run_chunk, chunks)  # (n_chunks, bs, d, d)
-        preds = preds.reshape(-1, subtile, subtile)[:n]
-        preds = preds * valid[:, None, None].astype(jnp.uint8)
-        out = unmake_blocks_nhwc(preds, th, tw)
+        preds = preds.reshape(-1, subtile, subtile)[: ns * n]
+        preds = preds * valid.reshape(-1)[:, None, None].astype(jnp.uint8)
+        out = jax.vmap(
+            lambda p: unmake_blocks_nhwc(p, th, tw)
+        )(preds.reshape(ns, n, subtile, subtile))
         if packed:
             from deadtrees_tpu.infer.packing import pack2
 
             out = pack2(out)
         if out_sharding is not None:
             out = jax.lax.with_sharding_constraint(out, out_sharding)
-        return out
+        return out[0] if squeeze else out
 
     return predict
 
@@ -108,7 +122,7 @@ def predict_scene(
     *,
     tile_shape: Tuple[int, int] = (2048, 2048),
     subtile: int = 256,
-    batch_size: int = 64,
+    batch_size: int = 128,
     predictor: Optional[Callable] = None,
     mean: Sequence[float] = DATASET_CONFIG.mean,
     std: Sequence[float] = DATASET_CONFIG.std,
@@ -139,3 +153,80 @@ def predict_scene(
 
         tiler._outdata = unpack2(out, tw)
     return tiler.prediction
+
+
+def predict_scenes(
+    model,
+    variables,
+    scenes: Sequence[np.ndarray],
+    *,
+    tile_shape: Tuple[int, int] = (2048, 2048),
+    subtile: int = 256,
+    batch_size: int = 128,
+    scenes_per_dispatch: Optional[int] = None,
+    predictor: Optional[Callable] = None,
+    mean: Sequence[float] = DATASET_CONFIG.mean,
+    std: Sequence[float] = DATASET_CONFIG.std,
+) -> list:
+    """Batched scene inference: N scenes → N (H, W) class maps.
+
+    The production workload is thousands of 2048² orthophoto tiles
+    (reference scripts/inference.py:16-115). One 2048² scene = 64 subtiles
+    of 256², which underfills the chip (bs=64 ≈ 70% of bs=128 throughput);
+    this wrapper packs ``scenes_per_dispatch`` scenes per compiled call
+    (default: enough to fill one ``batch_size`` model sub-batch) and keeps
+    dispatches pipelined — JAX's async dispatch overlaps scene k+1's H2D
+    with scene k's compute. The tail group reuses the same compiled program
+    by padding with a zero scene.
+    """
+    from deadtrees_tpu.infer.packing import unpack2
+
+    per_scene = (tile_shape[0] // subtile) * (tile_shape[1] // subtile)
+    if scenes_per_dispatch is None:
+        scenes_per_dispatch = max(1, batch_size // per_scene)
+    fn = predictor or make_scene_predictor(
+        model, subtile=subtile, batch_size=batch_size, mean=mean, std=std,
+        packed=True,
+    )
+
+    scenes = list(scenes)
+    results: list = [None] * len(scenes)
+    g = scenes_per_dispatch
+    pending: list = []  # ≤2 in-flight dispatches: overlap H2D/compute/D2H
+
+    def drain(entry):
+        idx, group_tilers, out = entry
+        host = np.asarray(out)  # (g, TH, TW//4) packed
+        for j, i in enumerate(idx):
+            t = group_tilers[j]
+            t._outdata = unpack2(host[j], t._indata.shape[1])
+            results[i] = t.prediction
+
+    for start in range(0, len(scenes), g):
+        idx = list(range(start, min(start + g, len(scenes))))
+        group_tilers = []
+        for i in idx:
+            t = Tiler(tile_shape=tile_shape, subtile_shape=(subtile, subtile))
+            t.load_array(scenes[i])
+            group_tilers.append(t)
+        stack = np.stack([t._indata for t in group_tilers])
+        vstack = np.stack([t.subtiles_to_use for t in group_tilers])
+        if len(idx) < g:  # pad the tail group: same compiled shape
+            pad = g - len(idx)
+            stack = np.concatenate(
+                [stack, np.zeros((pad,) + stack.shape[1:], stack.dtype)]
+            )
+            vstack = np.concatenate(
+                [vstack, np.zeros((pad,) + vstack.shape[1:], vstack.dtype)]
+            )
+        out = fn(
+            variables["params"], variables["batch_stats"],
+            jnp.asarray(stack), jnp.asarray(vstack),
+        )
+        pending.append((idx, group_tilers, out))
+        if len(pending) > 2:
+            drain(pending.pop(0))
+
+    for entry in pending:
+        drain(entry)
+    return results

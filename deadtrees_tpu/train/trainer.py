@@ -290,6 +290,20 @@ class Trainer:
         )
 
     # -- loops --------------------------------------------------------------
+    def _epoch_step_cap(self, limit_train) -> Optional[int]:
+        """Steps this process may take this epoch. Multi-host: every process
+        MUST take the same number of jitted steps per epoch or the
+        collective-backed step hangs waiting for processes whose local
+        stream ran dry (uneven shard assignment / unequal shard sample
+        counts). datamodule.steps_per_epoch is the min-over-processes safe
+        bound; single-process runs stay unbounded (stream exhaustion ends
+        the epoch)."""
+        cap = None if limit_train is None else int(limit_train)
+        if jax.process_count() > 1:
+            safe = int(self.datamodule.steps_per_epoch)
+            cap = safe if cap is None else min(cap, safe)
+        return cap
+
     def _run_val_epoch(self, epoch: int, max_batches: Optional[int]) -> Dict[str, float]:
         batch_metrics, cms, cms_masked = [], [], []
         first_batch = None
@@ -434,8 +448,9 @@ class Trainer:
                 rng, erng = jax.random.split(rng)
                 n_steps = 0
                 train_metrics: List[Dict] = []
+                step_cap = self._epoch_step_cap(limit_train)
                 for i, batch in enumerate(self.datamodule.train_batches(erng)):
-                    if limit_train is not None and i >= int(limit_train):
+                    if step_cap is not None and i >= int(step_cap):
                         break
                     files = batch.pop("files", [])
                     self.stats["train"].update(files)

@@ -11,8 +11,12 @@
 //   - tiff_decode():      baseline TIFF decoder for the shard sample format
 //                         (classic little-endian TIFF, 8-bit, 1/3/4 samples,
 //                         strip-based, compression none (1), LZW (5) with
-//                         horizontal predictor, or PackBits (32773) —
-//                         everything PIL/GDAL emit in this pipeline)
+//                         horizontal predictor, deflate/zlib (8 and the
+//                         legacy 32946 code) with predictor, or PackBits
+//                         (32773) — everything PIL/GDAL emit in this
+//                         pipeline; deflate is the most common compression
+//                         on real orthophotos (reference reads any GDAL
+//                         TIFF via rasterio, deployment/tiler.py:101)
 //   - decode_batch():     thread-pool batched decode of N tar members into
 //                         one contiguous (N, H, W, C) uint8 buffer ready for
 //                         jax.device_put
@@ -27,6 +31,8 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#include <zlib.h>
 
 extern "C" {
 
@@ -213,6 +219,24 @@ static bool lzw_decode(const uint8_t* src, int64_t n, uint8_t* dst,
   return true;
 }
 
+// TIFF deflate (zlib stream per strip; compression tag 8, legacy 32946).
+static bool deflate_decode(const uint8_t* src, int64_t n, uint8_t* dst,
+                           int64_t cap, int64_t* written) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return false;
+  zs.next_in = const_cast<Bytef*>(src);
+  zs.avail_in = (uInt)n;
+  zs.next_out = dst;
+  zs.avail_out = (uInt)cap;
+  int rc = inflate(&zs, Z_FINISH);
+  *written = (int64_t)zs.total_out;
+  inflateEnd(&zs);
+  // Z_STREAM_END: clean strip. Z_OK/Z_BUF_ERROR with all input consumed can
+  // occur on writers that omit the final flush; accept if bytes were made.
+  return rc == Z_STREAM_END || (rc == Z_OK && *written > 0);
+}
+
 static bool packbits_decode(const uint8_t* src, int64_t n, uint8_t* dst,
                             int64_t cap, int64_t* written) {
   int64_t si = 0, di = 0;
@@ -271,6 +295,9 @@ int tiff_decode(const uint8_t* data, int64_t size, uint8_t* out, int32_t* h,
     } else if (info.compression == 32773) {
       if (!packbits_decode(data + off, cnt, out + di, total - di, &written))
         return -6;
+    } else if (info.compression == 8 || info.compression == 32946) {
+      if (!deflate_decode(data + off, cnt, out + di, total - di, &written))
+        return -10;
     } else {
       return -7;  // unsupported compression
     }

@@ -33,9 +33,15 @@ def main() -> None:
     parser.add_argument("checkpoints", type=Path, nargs="+")
     parser.add_argument("--outpath", type=Path, default=Path("."))
     parser.add_argument("--all", action="store_true", help="process ortho*.tif in dir")
-    parser.add_argument("--bs", type=int, default=64)
+    parser.add_argument("--bs", type=int, default=128)
     parser.add_argument("--tile-shape", type=int, default=2048)
     parser.add_argument("--subtile", type=int, default=256)
+    parser.add_argument(
+        "--scenes-per-dispatch", type=int, default=None,
+        help="scenes batched per compiled call (default: fill one --bs "
+        "model sub-batch; a 2048²/256² scene has 64 subtiles, so bs=128 "
+        "packs 2 scenes per dispatch)",
+    )
     parser.add_argument("--preview", action="store_true", help="also write PNG preview")
     args = parser.parse_args()
 
@@ -59,7 +65,59 @@ def main() -> None:
     )
     args.outpath.mkdir(parents=True, exist_ok=True)
 
+    def write_out(tiler, scene_path):
+        outfile = args.outpath / scene_path.name
+        tiler.write_file(outfile)
+        print(f"wrote {outfile}")
+        if args.preview:
+            from PIL import Image
+
+            Image.fromarray(
+                (tiler.prediction * 127).clip(0, 255).astype(np.uint8)
+            ).save(outfile.with_suffix(".png"))
+
+    # scenes per compiled call: fill at least one full model sub-batch
+    # (one 2048²/256² scene = 64 subtiles; bs=128 → 2 scenes/dispatch)
+    per_scene = (args.tile_shape // args.subtile) ** 2
+    spd = args.scenes_per_dispatch or max(1, args.bs // per_scene)
+
     predictor = None
+    group = []  # [(scene_path, tiler)] awaiting one batched dispatch
+
+    def flush_group():
+        nonlocal predictor
+        if not group:
+            return
+        if predictor is None:
+            predictor = make_scene_predictor(
+                engine.model, subtile=args.subtile, batch_size=args.bs,
+                packed=True,
+            )
+        from deadtrees_tpu.infer.packing import unpack2
+
+        stack = np.stack([t._indata for _, t in group])
+        vstack = np.stack([t.subtiles_to_use for _, t in group])
+        if len(group) < spd:  # pad tail: reuse the same compiled shape
+            pad = spd - len(group)
+            stack = np.concatenate(
+                [stack, np.zeros((pad,) + stack.shape[1:], stack.dtype)]
+            )
+            vstack = np.concatenate(
+                [vstack, np.zeros((pad,) + vstack.shape[1:], vstack.dtype)]
+            )
+        out = np.asarray(
+            predictor(
+                engine.variables["params"],
+                engine.variables["batch_stats"],
+                jnp.asarray(stack),
+                jnp.asarray(vstack),
+            )
+        )
+        for j, (scene_path, tiler) in enumerate(group):
+            tiler._outdata = unpack2(out[j], tiler._indata.shape[1])
+            write_out(tiler, scene_path)
+        group.clear()
+
     for scene_path in scenes:
         geo = read_geotiff(scene_path)
         data = geo.data
@@ -76,17 +134,9 @@ def main() -> None:
         tiler.load_array(data, geo)
 
         if isinstance(engine, JaxInference):
-            if predictor is None:
-                predictor = make_scene_predictor(
-                    engine.model, subtile=args.subtile, batch_size=args.bs
-                )
-            out = predictor(
-                engine.variables["params"],
-                engine.variables["batch_stats"],
-                jnp.asarray(tiler._indata),
-                jnp.asarray(tiler.subtiles_to_use),
-            )
-            tiler._outdata = np.asarray(out)
+            group.append((scene_path, tiler))
+            if len(group) >= spd:
+                flush_group()
         else:
             batches = tiler.get_batches()
             preds = [
@@ -96,17 +146,9 @@ def main() -> None:
                 )
             ]
             tiler.put_batches(np.concatenate(preds))
+            write_out(tiler, scene_path)
 
-        outfile = args.outpath / scene_path.name
-        tiler.write_file(outfile)
-        print(f"wrote {outfile}")
-
-        if args.preview:
-            from PIL import Image
-
-            Image.fromarray(
-                (tiler.prediction * 127).clip(0, 255).astype(np.uint8)
-            ).save(outfile.with_suffix(".png"))
+    flush_group()
 
 
 if __name__ == "__main__":

@@ -51,8 +51,17 @@ def plan_moves(
     indirs: List[Path], outdir: Path, fractions: List[float]
 ) -> Iterator[Tuple[Path, Path]]:
     """Yield (source shard, destination) pairs for every year directory."""
-    for indir in indirs:
-        year = year_of(indir)
+    years = [year_of(d) for d in indirs]
+    dupes = {y for y in years if years.count(y) > 1}
+    if dupes:
+        raise ValueError(
+            f"duplicate year tag(s) {sorted(dupes)} across input directories "
+            f"{[str(d) for d in indirs]}: destination names would collide and "
+            "silently overwrite shards. Rename the directories so each "
+            "resolves to a distinct year."
+        )
+    seen: dict = {}
+    for indir, year in zip(indirs, years):
         shards = sorted(indir.glob("*.tar"))
         if not shards:
             raise ValueError(f"no .tar shards in {indir}")
@@ -60,7 +69,14 @@ def plan_moves(
         for split, members in zip(SPLITS, per_split):
             for shard in members or []:
                 shard = Path(shard)
-                yield shard, outdir / split / tagged_name(shard, year)
+                dst = outdir / split / tagged_name(shard, year)
+                if dst in seen:
+                    raise ValueError(
+                        f"destination collision: {seen[dst]} and {shard} "
+                        f"both map to {dst}"
+                    )
+                seen[dst] = shard
+                yield shard, dst
 
 
 def main(argv: Optional[List[str]] = None) -> int:

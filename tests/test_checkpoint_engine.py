@@ -93,11 +93,48 @@ def test_ensemble_guards_and_vote(ckpt_path):
         EnsembleInference([ckpt_path, ckpt_path])
 
     ens = EnsembleInference([ckpt_path] * 3)
+    assert ens.homogeneous
     img = np.random.default_rng(1).integers(0, 255, (1, 64, 64, 4), np.uint8)
     single = JaxInference(ckpt_path).run(img)
     voted = ens.run(img)
     # identical members: near-exact match (vmap fp ulps may flip near-ties)
     assert (voted != single).mean() < 1e-2
+
+
+def test_ensemble_mixed_architectures(ckpt_path, tmp_path):
+    """Reference parity: ensembles may mix arbitrary checkpoints
+    (deployment/inference.py:65-116) — heterogeneous members take the
+    sequential per-model path and majority-vote on host."""
+    from deadtrees_tpu.infer import EnsembleInference, JaxInference
+
+    other_hp = dict(HPARAMS, encoder_name="resnet34")
+    model = create_model(**other_hp, dtype=jnp.float32)
+    variables = init_model(model, jax.random.PRNGKey(1), image_size=64)
+    other = tmp_path / "other.ckpt"
+    save_checkpoint(
+        other, params=variables["params"],
+        batch_stats=variables["batch_stats"], hparams=other_hp,
+    )
+
+    ens = EnsembleInference([ckpt_path, ckpt_path, other])
+    assert not ens.homogeneous
+    img = np.random.default_rng(2).integers(0, 255, (1, 64, 64, 4), np.uint8)
+    voted = ens.run(img)
+    assert voted.shape == (1, 64, 64) and voted.dtype == np.uint8
+    # two identical members of A out-vote the single B everywhere
+    np.testing.assert_array_equal(voted, JaxInference(ckpt_path).run(img))
+
+    # class-count disagreement is a hard error
+    bad_hp = dict(HPARAMS, classes=2)
+    model = create_model(**bad_hp, dtype=jnp.float32)
+    variables = init_model(model, jax.random.PRNGKey(2), image_size=64)
+    bad = tmp_path / "bad.ckpt"
+    save_checkpoint(
+        bad, params=variables["params"],
+        batch_stats=variables["batch_stats"], hparams=bad_hp,
+    )
+    with pytest.raises(ValueError):
+        EnsembleInference([ckpt_path, ckpt_path, bad])
 
 
 def test_export_roundtrip_dynamic_batch(ckpt_path, tmp_path):
@@ -129,6 +166,32 @@ def test_scene_predictor_matches_engine(ckpt_path):
     # the top-left full subtile must agree with direct engine output
     direct = eng.run(scene[None, :64, :64, :])[0]
     assert np.array_equal(out[:64, :64], direct)
+
+
+def test_scene_batch_matches_per_scene(ckpt_path):
+    """Multi-scene dispatch (the throughput path: 2+ scenes fill one
+    bs-128 sub-batch) must reproduce per-scene results, including the
+    zero-padded tail group."""
+    from deadtrees_tpu.infer import JaxInference, predict_scene
+    from deadtrees_tpu.infer.sliding import predict_scenes
+
+    eng = JaxInference(ckpt_path)
+    rng = np.random.default_rng(3)
+    scenes = [
+        rng.integers(0, 255, (100, 150, 4), np.uint8) for _ in range(3)
+    ]
+    batched = predict_scenes(
+        eng.model, eng.variables, scenes, tile_shape=(128, 192), subtile=64,
+        batch_size=4, scenes_per_dispatch=2,  # 3 scenes → full + padded tail
+    )
+    assert len(batched) == 3
+    for scene, got in zip(scenes, batched):
+        single = predict_scene(
+            eng.model, eng.variables, scene, tile_shape=(128, 192),
+            subtile=64, batch_size=4,
+        )
+        assert got.shape == single.shape == (100, 150)
+        np.testing.assert_array_equal(got, single)
 
 
 def test_http_server_roundtrip(ckpt_path):

@@ -25,7 +25,11 @@ from deadtrees_tpu.models.encoders import (  # noqa: E402
 )
 
 
-def _torch_effnet_b0(in_ch=4):
+def _torch_effnet(in_ch=4, width_mult=1.0, depth_mult=1.0):
+    """Plain-torch EfficientNet feature extractor at any width/depth —
+    the state-dict key scheme smp's timm-efficientnet encoders load.
+    b5 geometry (width 1.6 / depth 2.2) exercises the ≥10-numbered-siblings
+    key-ordering regime (39 MBConv blocks)."""
     import torch.nn as nn
 
     class SE(nn.Module):
@@ -78,15 +82,15 @@ def _torch_effnet_b0(in_ch=4):
     class EffNet(nn.Module):
         def __init__(self):
             super().__init__()
-            stem = _round_channels(32, 1.0)
+            stem = _round_channels(32, width_mult)
             self.conv_stem = nn.Conv2d(in_ch, stem, 3, 2, 1, bias=False)
             self.bn1 = nn.BatchNorm2d(stem, eps=1e-3)
             blocks = []
             cin = stem
             for t, c, n, s, k in _EFFNET_BASE:
-                cout = _round_channels(c, 1.0)
+                cout = _round_channels(c, width_mult)
                 stage = []
-                for b in range(_round_repeats(n, 1.0)):
+                for b in range(_round_repeats(n, depth_mult)):
                     stride = s if b == 0 else 1
                     if t == 1:
                         stage.append(DsBlock(cin, cout, k, stride))
@@ -107,6 +111,10 @@ def _torch_effnet_b0(in_ch=4):
             return feats
 
     return EffNet()
+
+
+def _torch_effnet_b0(in_ch=4):
+    return _torch_effnet(in_ch=in_ch)
 
 
 def test_efficientnet_b0_forward_parity():

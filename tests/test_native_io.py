@@ -38,7 +38,9 @@ def _tiff_bytes(arr, mode, **save_kwargs) -> bytes:
     return buf.getvalue()
 
 
-@pytest.mark.parametrize("compression", [None, "tiff_lzw", "packbits"])
+@pytest.mark.parametrize(
+    "compression", [None, "tiff_lzw", "packbits", "tiff_adobe_deflate"]
+)
 def test_tiff_decode_parity(compression):
     rng = np.random.default_rng(0)
     rgba = rng.integers(0, 255, (48, 40, 4), dtype=np.uint8)
@@ -52,6 +54,67 @@ def test_tiff_decode_parity(compression):
     out = native.tiff_decode(_tiff_bytes(gray, "L", **kw))
     assert out.shape == (48, 40)
     assert np.array_equal(out, gray)
+
+
+def test_tiff_deflate_predictor2_multistrip():
+    """GDAL's default orthophoto encoding: deflate (tag 8) + horizontal
+    predictor 2, strip-based — hand-crafted since PIL won't emit the
+    predictor (reference reads these via rasterio, deployment/tiler.py:101)."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(2)
+    h, w, c = 40, 32, 4
+    img = rng.integers(0, 255, (h, w, c), dtype=np.uint8)
+    rows_per_strip = 16
+
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        rows = img[y0 : y0 + rows_per_strip].astype(np.int16)
+        diff = rows.copy()
+        diff[:, 1:, :] -= rows[:, :-1, :]  # horizontal differencing per band
+        strips.append(zlib.compress(diff.astype(np.uint8).tobytes(), 6))
+
+    n_strips = len(strips)
+    # layout: header(8) | IFD | offsets arrays | bits array | strip data
+    entries = 10
+    ifd_off = 8
+    ifd_size = 2 + entries * 12 + 4
+    arr_off = ifd_off + ifd_size
+    strip_off_pos = arr_off
+    strip_cnt_pos = strip_off_pos + 4 * n_strips
+    bits_pos = strip_cnt_pos + 4 * n_strips
+    data_pos = bits_pos + 2 * c
+    offsets, pos = [], data_pos
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    ifd = struct.pack("<H", entries)
+    ifd += entry(256, 3, 1, w)            # width
+    ifd += entry(257, 3, 1, h)            # height
+    ifd += entry(258, 3, c, bits_pos)     # bits per sample -> array
+    ifd += entry(259, 3, 1, 8)            # compression: deflate
+    ifd += entry(262, 3, 1, 2)            # photometric RGB
+    ifd += entry(273, 4, n_strips, strip_off_pos)
+    ifd += entry(277, 3, 1, c)            # samples per pixel
+    ifd += entry(278, 3, 1, rows_per_strip)
+    ifd += entry(279, 4, n_strips, strip_cnt_pos)
+    ifd += entry(317, 3, 1, 2)            # predictor: horizontal
+    ifd += struct.pack("<I", 0)           # next IFD
+
+    blob = struct.pack("<2sHI", b"II", 42, ifd_off) + ifd
+    blob += struct.pack(f"<{n_strips}I", *offsets)
+    blob += struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+    blob += struct.pack(f"<{c}H", *([8] * c))
+    blob += b"".join(strips)
+
+    out = native.tiff_decode(blob)
+    assert out.shape == (h, w, c)
+    assert np.array_equal(out, img)
 
 
 def test_tar_index_and_batch_decode(tmp_path):

@@ -75,6 +75,28 @@ def test_fit_produces_artifacts(dataset, tmp_path):
     assert "tile_" in stats
 
 
+def test_epoch_step_cap_bounds_multihost_epochs(dataset, tmp_path, monkeypatch):
+    """Multi-host safety (ADVICE r2): with process_count > 1 every process
+    must take the same number of train steps per epoch — the cap is the
+    min-over-processes steps_per_epoch, further clamped by
+    limit_train_batches. Single-process: only limit_train applies."""
+    import jax
+
+    work = tmp_path / "run_cap"
+    work.mkdir()
+    trainer = Trainer(_config(dataset, work), work_dir=work)
+    trainer._build()
+
+    assert trainer._epoch_step_cap(None) is None
+    assert trainer._epoch_step_cap(3) == 3
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    safe = int(trainer.datamodule.steps_per_epoch)
+    assert trainer._epoch_step_cap(None) == safe
+    assert trainer._epoch_step_cap(safe + 100) == safe
+    assert trainer._epoch_step_cap(1) == 1
+
+
 def test_fit_with_multistage_and_swa(dataset, tmp_path):
     work = tmp_path / "run2"
     work.mkdir()
