@@ -72,13 +72,15 @@ class JaxInference(Inference):
         *,
         mean: Sequence[float] = DATASET_CONFIG.mean,
         std: Sequence[float] = DATASET_CONFIG.std,
-        fused_decoder: bool = False,
+        fused_decoder: Union[bool, str] = False,
         quantized: bool = False,
     ):
-        """``fused_decoder=True`` (efficientunet++ checkpoints only) routes
-        the decoder through the Pallas CHW kernels (ops/fused_decoder.py)
-        with BatchNorms folded at load — experimental; argmax-equivalent to
-        the flax path (see PERF.md for current end-to-end numbers).
+        """``fused_decoder`` (efficientunet++ checkpoints only) routes the
+        decoder through Pallas kernels with BatchNorms folded at load:
+        ``"nhwc"`` (or ``True``) = the r3 fat-cell path (ops/fused_cell.py,
+        production bs=128), ``"chw"`` = the r1 W-in-lanes path for
+        small-batch latency serving. Argmax-equivalent to the flax path
+        (see PERF.md for current end-to-end numbers).
 
         ``quantized=True`` round-trips kernels through per-channel int8
         ONCE at load time and then runs the normal bf16/f32 program — it
@@ -124,6 +126,7 @@ class JaxInference(Inference):
 
             folded = fold_effunetpp_decoder(self.variables)
             interp = jax.devices()[0].platform != "tpu"
+            layout = "nhwc" if fused_decoder in (True, "nhwc") else "chw"
 
             @jax.jit
             def _predict(params, batch_stats, img_u8):
@@ -134,6 +137,7 @@ class JaxInference(Inference):
                     folded,
                     img,
                     interpret=interp,
+                    layout=layout,
                 )
                 return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 

@@ -158,6 +158,110 @@ def fused_decoder_chw(
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
+def folded_block_xla_nhwc(x: jnp.ndarray, fp: FoldedBlockParams) -> jnp.ndarray:
+    """XLA fallback for one BN-folded InvertedResidual on NHWC tensors —
+    for thin/deep cells where the fat-cell kernel doesn't pay."""
+    dn = ("NHWC", "HWIO", "NHWC")
+    cin = x.shape[-1]
+    cmid = fp.w1.shape[1]
+    fp = jax.tree_util.tree_map(lambda a: a.astype(x.dtype), fp)
+
+    y = jax.lax.conv_general_dilated(
+        x, fp.w1.reshape(1, 1, cin, cmid), (1, 1), "SAME",
+        dimension_numbers=dn,
+    ) + fp.b1
+    y = jax.nn.hard_swish(y)
+    h = jax.lax.conv_general_dilated(
+        y, fp.dw.reshape(*fp.dw.shape[:2], 1, cmid), (1, 1), "SAME",
+        feature_group_count=cmid, dimension_numbers=dn,
+    ) + fp.b_dw
+    h = jax.nn.hard_swish(h)
+
+    pooled = jnp.mean(h, axis=(1, 2))  # (B, Cm)
+    z = jnp.maximum(pooled @ fp.cse_w1 + fp.cse_b1, 0.0)
+    gate = jax.nn.sigmoid(z @ fp.cse_w2 + fp.cse_b2)
+    s = jax.nn.sigmoid(h @ fp.sse_w + fp.sse_b)  # (B, H, W, 1)
+    scse = h * gate[:, None, None, :] + h * s
+
+    out = jax.lax.conv_general_dilated(
+        scse, fp.w2.reshape(1, 1, cmid, -1), (1, 1), "SAME",
+        dimension_numbers=dn,
+    ) + fp.b2
+    if fp.wsk is not None:
+        out = out + jax.lax.conv_general_dilated(
+            x, fp.wsk.reshape(1, 1, cin, -1), (1, 1), "SAME",
+            dimension_numbers=dn,
+        ) + fp.bsk
+    else:
+        out = out + x
+    return out
+
+
+def _one_block_nhwc(x, fp, interpret):
+    """Fat cells (C ≥ 64, lanes-dense) run the fused NHWC kernel; thin
+    cells stay in XLA (their lane padding makes Pallas tiles wasteful and
+    they are cheap anyway — PERF.md r3)."""
+    from deadtrees_tpu.ops.fused_cell import _pick_th, fused_ir_fat
+
+    cin = x.shape[-1]
+    cmid = fp.w1.shape[1]
+    ok = (
+        x.dtype in (jnp.float32, jnp.bfloat16)
+        and cin >= 64
+        and (x.shape[2] >= 128 or interpret)
+        and _pick_th(x.shape[1], x.shape[2], cin, cmid, 1) is not None
+    )
+    if ok:
+        return fused_ir_fat(x, fp, interpret=interpret)
+    return folded_block_xla_nhwc(x, fp)
+
+
+def _cell_nhwc(folded, name, x, skip, interpret):
+    from deadtrees_tpu.models.blocks import upsample2x_nearest
+
+    x = upsample2x_nearest(x)
+    if skip is not None:
+        x = jnp.concatenate([x, skip], axis=-1)
+    fp0, fp1 = folded[name]
+    x = _one_block_nhwc(x, fp0, interpret)
+    return _one_block_nhwc(x, fp1, interpret)
+
+
+def fused_decoder_nhwc(
+    features_nhwc: Sequence[jnp.ndarray],
+    folded: Dict[str, Tuple[FoldedBlockParams, FoldedBlockParams]],
+    decoder_channels: Sequence[int],
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dense-grid decoder with the FAT cells fused (ops/fused_cell.py).
+
+    Stays NHWC end to end — encoder features and the segmentation head are
+    NHWC, so unlike the CHW path there are no layout transposes at all.
+    The hot row-3/row-2 cells (46% of the flagship forward, PERF.md r3)
+    run as two fused passes each; thin cells fall back to XLA.
+    """
+    feats = list(features_nhwc[1:])[::-1]
+    depth = len(decoder_channels) - 1
+
+    dense: Dict[Tuple[int, int], jnp.ndarray] = {}
+    for layer in range(depth):
+        for d in range(depth - layer):
+            li = d + layer
+            if layer == 0:
+                dense[(d, d)] = _cell_nhwc(
+                    folded, f"x_{d}_{d}", feats[d], feats[d + 1], interpret
+                )
+            else:
+                cat = [dense[(idx, li)] for idx in range(d + 1, li + 1)]
+                cat = jnp.concatenate(cat + [feats[li + 1]], axis=-1)
+                dense[(d, li)] = _cell_nhwc(
+                    folded, f"x_{d}_{li}", dense[(d, li - 1)], cat, interpret
+                )
+    return _cell_nhwc(folded, f"x_0_{depth}", dense[(0, depth - 1)], None,
+                      interpret)
+
+
 def fused_forward(
     model,
     variables: Dict,
@@ -165,9 +269,12 @@ def fused_forward(
     img: jnp.ndarray,
     *,
     interpret: bool = False,
+    layout: str = "chw",
 ) -> jnp.ndarray:
-    """Full flagship forward: flax encoder → fused CHW decoder → XLA head.
+    """Full flagship forward: flax encoder → fused decoder → XLA head.
 
+    ``layout="chw"`` is the r1 small-batch path (W-in-lanes kernels);
+    ``layout="nhwc"`` is the r3 fat-cell path (production bs=128).
     Jittable; numerically equivalent to ``model.apply(..., train=False)``
     up to matmul rounding (verified in tests/test_fused_decoder.py).
     """
@@ -188,9 +295,14 @@ def fused_forward(
         img.astype(model.dtype),
         train=False,
     )
-    decoded = fused_decoder_chw(
-        feats, folded, tuple(model.decoder_channels), interpret=interpret
-    )
+    if layout == "nhwc":
+        decoded = fused_decoder_nhwc(
+            feats, folded, tuple(model.decoder_channels), interpret=interpret
+        )
+    else:
+        decoded = fused_decoder_chw(
+            feats, folded, tuple(model.decoder_channels), interpret=interpret
+        )
 
     hp = variables["params"]["segmentation_head"]["Conv_0"]
     logits = jax.lax.conv_general_dilated(

@@ -43,6 +43,13 @@ def test_fused_forward_matches_flax():
     err = np.abs(np.asarray(out) - np.asarray(ref)).max()
     assert err < 5e-3, f"max err {err}"
 
+    # the r3 fat-cell NHWC layout must match too (same folded params)
+    out2 = fused_forward(
+        model, variables, folded, img, interpret=True, layout="nhwc"
+    )
+    err2 = np.abs(np.asarray(out2) - np.asarray(ref)).max()
+    assert err2 < 5e-3, f"nhwc max err {err2}"
+
 
 def test_engine_fused_decoder_flag(tmp_path):
     """JaxInference(fused_decoder=True) matches the flax engine."""
