@@ -46,7 +46,7 @@ def bench_inference(
     iters: int = 20,
     warmup: int = 3,
     decoder_channels=(256, 128, 64, 32, 16),
-    quantized: bool = False,
+    quantized="",
 ) -> float:
     from deadtrees_tpu.models import create_model
     from deadtrees_tpu.train import make_predict_step
@@ -99,7 +99,7 @@ def bench_inference(
 
     from deadtrees_tpu.infer.packing import pack2
 
-    if quantized:
+    if quantized in ("w8", "w8a8"):
         # int8 weight-only serving: weights round-trip through int8 ONCE
         # at load into bf16 (in-graph dequant measured 3.4x slower —
         # weight prefetch defeated; infer/quantize.py)
@@ -113,15 +113,59 @@ def bench_inference(
             dtype=jnp.bfloat16,
         )
 
-    @jax.jit
-    def run(params, batch_stats, img_u8):
-        x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
-        # 2-bit packed class map: the serving wire format
-        # (infer/packing.py). On this benchmarking attachment the
-        # per-dispatch cost scales with OUTPUT bytes (~150-270 MB/s
-        # marshalling, PERF.md r2), so the full uint8 map would add
-        # ~120 ms/call of pure transfer artifact at bs=128/512².
-        return pack2(predict(params, batch_stats, x).astype(jnp.uint8))
+    if quantized == "w8a8":
+        # + int8 ACTIVATION storage in the decoder (per-channel scales
+        # calibrated on this batch; infer/act_quant.py)
+        from deadtrees_tpu.infer.act_quant import (
+            calibrate_decoder,
+            make_int8_block_fn,
+        )
+        from deadtrees_tpu.ops.fused_decoder import (
+            apply_head,
+            encode_features,
+            fold_effunetpp_decoder,
+            fused_decoder_nhwc,
+        )
+
+        variables = {"params": params, "batch_stats": batch_stats}
+        folded = fold_effunetpp_decoder(variables)
+        dc = tuple(decoder_channels)
+
+        @jax.jit
+        def _calib(params, batch_stats, img_u8):
+            x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
+            feats = encode_features(
+                model, {"params": params, "batch_stats": batch_stats}, x
+            )
+            return calibrate_decoder(feats, folded, dc)
+
+        print("bench: calibrating int8 activation scales...", file=sys.stderr)
+        scales = jax.tree_util.tree_map(
+            jnp.asarray, _calib(params, batch_stats, img)
+        )
+
+        @jax.jit
+        def run(params, batch_stats, img_u8):
+            x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
+            v = {"params": params, "batch_stats": batch_stats}
+            feats = encode_features(model, v, x)
+            decoded = fused_decoder_nhwc(
+                feats, folded, dc, block_fn=make_int8_block_fn(scales)
+            )
+            cls = jnp.argmax(apply_head(v, decoded), axis=-1)
+            return pack2(cls.astype(jnp.uint8))
+
+    else:
+
+        @jax.jit
+        def run(params, batch_stats, img_u8):
+            x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
+            # 2-bit packed class map: the serving wire format
+            # (infer/packing.py). On this benchmarking attachment the
+            # per-dispatch cost scales with OUTPUT bytes (~150-270 MB/s
+            # marshalling, PERF.md r2), so the full uint8 map would add
+            # ~120 ms/call of pure transfer artifact at bs=128/512².
+            return pack2(predict(params, batch_stats, x).astype(jnp.uint8))
 
     for _ in range(warmup):
         pred = run(params, batch_stats, img)
@@ -232,8 +276,10 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument(
-        "--quantized", action="store_true",
-        help="bench the int8 weight-only serving path",
+        "--quantized", nargs="?", const="w8", default="",
+        choices=["w8", "w8a8"],
+        help="int8 serving paths: 'w8' = weight-only storage (default when "
+        "the flag is bare), 'w8a8' = + calibrated int8 decoder activations",
     )
     ap.add_argument(
         "--mode", choices=["infer", "train", "both"], default="both",
@@ -274,8 +320,10 @@ def main() -> None:
             iters=args.iters, quantized=args.quantized,
         )
         metric = "infer_512px_tiles_per_sec_per_chip"
-        if args.quantized:
+        if args.quantized == "w8":
             metric = "infer_512px_int8_tiles_per_sec_per_chip"
+        elif args.quantized == "w8a8":
+            metric = "infer_512px_w8a8_tiles_per_sec_per_chip"
         if args.mode == "both" and platform != "cpu":
             # train throughput rides along as an extra key (BASELINE.md's
             # primary metric covers train AND inference). Never silently

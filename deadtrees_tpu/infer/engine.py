@@ -73,7 +73,7 @@ class JaxInference(Inference):
         mean: Sequence[float] = DATASET_CONFIG.mean,
         std: Sequence[float] = DATASET_CONFIG.std,
         fused_decoder: Union[bool, str] = False,
-        quantized: bool = False,
+        quantized: Union[bool, str] = False,
     ):
         """``fused_decoder`` (efficientunet++ checkpoints only) routes the
         decoder through Pallas kernels with BatchNorms folded at load:
@@ -82,13 +82,20 @@ class JaxInference(Inference):
         small-batch latency serving. Argmax-equivalent to the flax path
         (see PERF.md for current end-to-end numbers).
 
-        ``quantized=True`` round-trips kernels through per-channel int8
-        ONCE at load time and then runs the normal bf16/f32 program — it
-        simulates serving from a 4× smaller int8 artifact (the footprint
-        win lives in export.py's ``quantize=`` payload) and measures the
-        accuracy delta (tests/test_quantize.py). It does NOT keep int8
-        weights in HBM: in-graph dequantization was measured 3.4× slower
-        (defeats XLA weight prefetch) and rejected."""
+        ``quantized=True`` (or ``"w8"``) round-trips kernels through
+        per-channel int8 ONCE at load time and then runs the normal
+        bf16/f32 program — it simulates serving from a 4× smaller int8
+        artifact (the footprint win lives in export.py's ``quantize=``
+        payload) and measures the accuracy delta (tests/test_quantize.py).
+        It does NOT keep int8 weights in HBM: in-graph dequantization was
+        measured 3.4× slower (defeats XLA weight prefetch) and rejected.
+
+        ``quantized="w8a8"`` (efficientunet++ checkpoints) additionally
+        stores the decoder's intra-block ACTIVATIONS as int8 in HBM with
+        per-channel scales calibrated on the FIRST batch passed to
+        :meth:`run` (infer/act_quant.py) — the bandwidth-bound decoder
+        passes move 4× fewer bytes. Accuracy: argmax agreement vs bf16
+        measured in tests/test_act_quant.py."""
         self.model, self.variables, self.hparams = load_model(checkpoint)
         self.in_channels = _sniff_in_channels(self.variables["params"], self.hparams)
         mean = tuple(mean)[: self.in_channels]
@@ -96,7 +103,7 @@ class JaxInference(Inference):
 
         model = self.model
         self.quantized = quantized
-        if quantized:
+        if quantized in (True, "w8", "w8a8"):
             # int8 is a STORAGE format: round-trip the weights through
             # per-channel int8 once at load (simulating an int8 artifact)
             # and run the normal bf16/f32 predict program. Dequantizing
@@ -118,7 +125,46 @@ class JaxInference(Inference):
                 "batch_stats": self.variables["batch_stats"],
             }
 
-        if fused_decoder:
+        self._scales = None  # w8a8: calibrated on the first run() batch
+        if quantized == "w8a8":
+            from deadtrees_tpu.infer.act_quant import (
+                calibrate_decoder,
+                make_int8_block_fn,
+            )
+            from deadtrees_tpu.ops.fused_decoder import (
+                apply_head,
+                encode_features,
+                fold_effunetpp_decoder,
+                fused_decoder_nhwc,
+            )
+
+            folded = fold_effunetpp_decoder(self.variables)
+            dc = tuple(self.model.decoder_channels)
+
+            @jax.jit
+            def _calibrate(params, batch_stats, img_u8):
+                img = normalize(img_u8.astype(jnp.float32), mean, std)
+                feats = encode_features(
+                    model, {"params": params, "batch_stats": batch_stats}, img
+                )
+                return calibrate_decoder(feats, folded, dc)
+
+            @jax.jit
+            def _predict(params, batch_stats, scales, img_u8):
+                img = normalize(img_u8.astype(jnp.float32), mean, std)
+                variables = {"params": params, "batch_stats": batch_stats}
+                feats = encode_features(model, variables, img)
+                decoded = fused_decoder_nhwc(
+                    feats, folded, dc, block_fn=make_int8_block_fn(scales)
+                )
+                logits = apply_head(variables, decoded)
+                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+            self._calibrate = _calibrate
+            self._predict_w8a8 = _predict
+            _predict = None  # run() routes through the w8a8 pair
+
+        elif fused_decoder:
             from deadtrees_tpu.ops.fused_decoder import (
                 fold_effunetpp_decoder,
                 fused_forward,
@@ -163,6 +209,22 @@ class JaxInference(Inference):
     def run(self, batch: np.ndarray) -> np.ndarray:
         """(B, H, W, C) uint8 → (B, H, W) uint8 class map."""
         batch = self._slice_channels(np.asarray(batch))
+        if self.quantized == "w8a8":
+            if self._scales is None:
+                # post-training calibration on the first served batch
+                self._scales = jax.tree_util.tree_map(
+                    jnp.asarray,
+                    self._calibrate(
+                        self.variables["params"],
+                        self.variables["batch_stats"], batch,
+                    ),
+                )
+            return np.asarray(
+                self._predict_w8a8(
+                    self.variables["params"], self.variables["batch_stats"],
+                    self._scales, batch,
+                )
+            )
         return np.asarray(
             self._predict(
                 self.variables["params"], self.variables["batch_stats"], batch

@@ -33,6 +33,9 @@ def _take_channels(
     if not ignore_channels:
         return x
     keep = tuple(i for i in range(num_classes) if i not in set(ignore_channels))
+    lo, hi = min(keep), max(keep)
+    if keep == tuple(range(lo, hi + 1)):  # contiguous: slice, not gather
+        return x[..., lo : hi + 1]
     return x[..., jnp.asarray(keep)]
 
 

@@ -42,17 +42,30 @@ from jax.experimental.pallas import tpu as pltpu
 from deadtrees_tpu.ops.fused_mbconv import FoldedBlockParams
 
 
+def _overlap_tiles(x: jnp.ndarray, th: int, halo: int) -> jnp.ndarray:
+    """(B, H, W, C) → (B, nH, TH+2·halo, W, C): H-tiles WITH their halo
+    rows materialized, so the kernel reads regular (pipelined) blocks.
+    One cheap XLA copy — for concat-input cells this replaces the concat
+    write the XLA path pays anyway. Overlapping `pl.Element` windows were
+    measured 1.35× SLOWER than XLA at bs=128 (they defeat Pallas's block
+    double-buffering; PERF.md r3)."""
+    xpad = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    n = x.shape[1] // th
+    tiles = [xpad[:, i * th : i * th + th + 2 * halo] for i in range(n)]
+    return jnp.stack(tiles, axis=1)
+
+
 def _p1_kernel(x_ref, w1_ref, b1_ref, dw_ref, bdw_ref, h_ref, psum_ref,
                *, act, ksize: int, total_h: int):
-    """x window (1, TH+2·halo, W, Cin) element-offset from the H-padded
-    input; emits h (1, TH, W, Cm) and running cSE partial sums (8, Cm)."""
+    """x tile (1, 1, TH+2·halo, W, Cin) from the overlap array; emits
+    h (1, TH, W, Cm) and running cSE partial sums per image."""
     i = pl.program_id(1)
     th = h_ref.shape[1]
     w = h_ref.shape[2]
     cm = h_ref.shape[3]
     halo = ksize // 2
 
-    x = x_ref[0].astype(jnp.float32)  # (TH+2h, W, Cin)
+    x = x_ref[0, 0].astype(jnp.float32)  # (TH+2h, W, Cin)
 
     # 1×1 expand on the haloed tile: (R, W, Cin) · (Cin, Cm)
     y = jax.lax.dot_general(
@@ -95,8 +108,9 @@ def _p1_kernel(x_ref, w1_ref, b1_ref, dw_ref, bdw_ref, h_ref, psum_ref,
 
 
 def _p2_kernel(h_ref, x_ref, gate_ref, ssew_ref, sseb_ref, w2_ref, b2_ref,
-               wsk_ref, bsk_ref, out_ref, *, skip: str):
+               wsk_ref, bsk_ref, out_ref, *, skip: str, halo: int):
     b = pl.program_id(0)
+    th = out_ref.shape[1]
     h = h_ref[0].astype(jnp.float32)  # (TH, W, Cm)
 
     sse = jax.nn.sigmoid(
@@ -115,7 +129,8 @@ def _p2_kernel(h_ref, x_ref, gate_ref, ssew_ref, sseb_ref, w2_ref, b2_ref,
         preferred_element_type=jnp.float32,
     ) + b2_ref[...]
 
-    x = x_ref[0].astype(jnp.float32)
+    # x comes from the overlap array: drop the halo rows
+    x = x_ref[0, 0, halo : halo + th].astype(jnp.float32)
     if skip == "conv":
         out = out + jax.lax.dot_general(
             x, wsk_ref[...],
@@ -175,8 +190,8 @@ def fused_ir_fat(
         raise ValueError(f"no VMEM-feasible H-tile for {x.shape}->{cmid}")
     n_tiles = hh // th
 
-    # halo rows live in a pre-padded array so window offsets stay i*th
-    xp = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    xov = _overlap_tiles(x, th, halo)  # (B, nH, TH+2h, W, Cin)
+    rows = th + 2 * halo
 
     row = lambda v: v.reshape(1, 1, -1)  # (1, 1, C) biases  # noqa: E731
 
@@ -184,12 +199,8 @@ def fused_ir_fat(
         functools.partial(_p1_kernel, act=act, ksize=ksize, total_h=hh),
         grid=(bsz, n_tiles),
         in_specs=[
-            pl.BlockSpec(
-                (pl.Element(1), pl.Element(th + 2 * halo), pl.Element(ww),
-                 pl.Element(cin)),
-                lambda b, i: (b, i * th, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, 1, rows, ww, cin), lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 (Cin, Cm)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b1 (1, 1, Cm)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dw (k, k, 1, Cm)
@@ -207,7 +218,7 @@ def fused_ir_fat(
         ],
         interpret=interpret,
     )(
-        xp, fp.w1, row(fp.b1), fp.dw.reshape(ksize, ksize, 1, cmid),
+        xov, fp.w1, row(fp.b1), fp.dw.reshape(ksize, ksize, 1, cmid),
         row(fp.b_dw),
     )
 
@@ -222,12 +233,12 @@ def fused_ir_fat(
         bsk = jnp.zeros((1, 1, cout), jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_p2_kernel, skip=skip),
+        functools.partial(_p2_kernel, skip=skip, halo=halo),
         grid=(bsz, n_tiles),
         in_specs=[
             pl.BlockSpec((1, th, ww, cmid), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, ww, cin), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, 1, rows, ww, cin), lambda b, i: (b, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # gate (B, 1, 1, Cm)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sse_w (Cm, 1)
@@ -244,7 +255,7 @@ def fused_ir_fat(
         out_shape=jax.ShapeDtypeStruct((bsz, hh, ww, cout), x.dtype),
         interpret=interpret,
     )(
-        h, x, gate.reshape(bsz, 1, 1, cmid), fp.sse_w,
+        h, xov, gate.reshape(bsz, 1, 1, cmid), fp.sse_w,
         fp.sse_b.reshape(1, 1), fp.w2, row(fp.b2), wsk, bsk,
     )
     return out

@@ -216,15 +216,15 @@ def _one_block_nhwc(x, fp, interpret):
     return folded_block_xla_nhwc(x, fp)
 
 
-def _cell_nhwc(folded, name, x, skip, interpret):
+def _cell_nhwc(folded, name, x, skip, block_fn):
     from deadtrees_tpu.models.blocks import upsample2x_nearest
 
     x = upsample2x_nearest(x)
     if skip is not None:
         x = jnp.concatenate([x, skip], axis=-1)
     fp0, fp1 = folded[name]
-    x = _one_block_nhwc(x, fp0, interpret)
-    return _one_block_nhwc(x, fp1, interpret)
+    x = block_fn(x, fp0, f"{name}.0")
+    return block_fn(x, fp1, f"{name}.1")
 
 
 def fused_decoder_nhwc(
@@ -233,14 +233,18 @@ def fused_decoder_nhwc(
     decoder_channels: Sequence[int],
     *,
     interpret: bool = False,
+    block_fn=None,
 ) -> jnp.ndarray:
-    """Dense-grid decoder with the FAT cells fused (ops/fused_cell.py).
+    """Dense-grid decoder on BN-folded blocks, NHWC end to end (no layout
+    transposes — encoder features and the segmentation head are NHWC).
 
-    Stays NHWC end to end — encoder features and the segmentation head are
-    NHWC, so unlike the CHW path there are no layout transposes at all.
-    The hot row-3/row-2 cells (46% of the flagship forward, PERF.md r3)
-    run as two fused passes each; thin cells fall back to XLA.
+    ``block_fn(x, fp, site) -> y`` runs one InvertedResidual; the default
+    routes fat cells (C ≥ 64) through the two-pass Pallas kernel and thin
+    cells through XLA. Alternative runners implement the int8-activation
+    path and its calibration pass (infer/act_quant.py).
     """
+    if block_fn is None:
+        block_fn = lambda x, fp, site: _one_block_nhwc(x, fp, interpret)  # noqa: E731
     feats = list(features_nhwc[1:])[::-1]
     depth = len(decoder_channels) - 1
 
@@ -250,16 +254,49 @@ def fused_decoder_nhwc(
             li = d + layer
             if layer == 0:
                 dense[(d, d)] = _cell_nhwc(
-                    folded, f"x_{d}_{d}", feats[d], feats[d + 1], interpret
+                    folded, f"x_{d}_{d}", feats[d], feats[d + 1], block_fn
                 )
             else:
                 cat = [dense[(idx, li)] for idx in range(d + 1, li + 1)]
                 cat = jnp.concatenate(cat + [feats[li + 1]], axis=-1)
                 dense[(d, li)] = _cell_nhwc(
-                    folded, f"x_{d}_{li}", dense[(d, li - 1)], cat, interpret
+                    folded, f"x_{d}_{li}", dense[(d, li - 1)], cat, block_fn
                 )
     return _cell_nhwc(folded, f"x_0_{depth}", dense[(0, depth - 1)], None,
-                      interpret)
+                      block_fn)
+
+
+def encode_features(model, variables: Dict, img: jnp.ndarray):
+    """Flax encoder forward → smp-style NHWC feature pyramid (jittable)."""
+    from deadtrees_tpu.models.encoders import get_encoder
+
+    encoder, _ = get_encoder(
+        model.encoder_name,
+        in_channels=model.in_channels,
+        dtype=model.dtype,
+        param_dtype=model.param_dtype,
+        module_name="encoder",
+    )
+    return encoder.apply(
+        {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        },
+        img.astype(model.dtype),
+        train=False,
+    )
+
+
+def apply_head(variables: Dict, decoded: jnp.ndarray) -> jnp.ndarray:
+    """Segmentation head (3×3 conv, f32 logits) on the decoded map."""
+    hp = variables["params"]["segmentation_head"]["Conv_0"]
+    return jax.lax.conv_general_dilated(
+        decoded.astype(jnp.float32),
+        jnp.asarray(hp["kernel"], jnp.float32),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.asarray(hp["bias"], jnp.float32)
 
 
 def fused_forward(
@@ -270,46 +307,24 @@ def fused_forward(
     *,
     interpret: bool = False,
     layout: str = "chw",
+    block_fn=None,
 ) -> jnp.ndarray:
     """Full flagship forward: flax encoder → fused decoder → XLA head.
 
     ``layout="chw"`` is the r1 small-batch path (W-in-lanes kernels);
-    ``layout="nhwc"`` is the r3 fat-cell path (production bs=128).
+    ``layout="nhwc"`` is the r3 path (optionally with a custom
+    ``block_fn``, e.g. the int8-activation runner — infer/act_quant.py).
     Jittable; numerically equivalent to ``model.apply(..., train=False)``
     up to matmul rounding (verified in tests/test_fused_decoder.py).
     """
-    from deadtrees_tpu.models.encoders import get_encoder
-
-    encoder, _ = get_encoder(
-        model.encoder_name,
-        in_channels=model.in_channels,
-        dtype=model.dtype,
-        param_dtype=model.param_dtype,
-        module_name="encoder",
-    )
-    feats = encoder.apply(
-        {
-            "params": variables["params"]["encoder"],
-            "batch_stats": variables["batch_stats"]["encoder"],
-        },
-        img.astype(model.dtype),
-        train=False,
-    )
+    feats = encode_features(model, variables, img)
     if layout == "nhwc":
         decoded = fused_decoder_nhwc(
-            feats, folded, tuple(model.decoder_channels), interpret=interpret
+            feats, folded, tuple(model.decoder_channels),
+            interpret=interpret, block_fn=block_fn,
         )
     else:
         decoded = fused_decoder_chw(
             feats, folded, tuple(model.decoder_channels), interpret=interpret
         )
-
-    hp = variables["params"]["segmentation_head"]["Conv_0"]
-    logits = jax.lax.conv_general_dilated(
-        decoded.astype(jnp.float32),
-        jnp.asarray(hp["kernel"], jnp.float32),
-        (1, 1),
-        "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + jnp.asarray(hp["bias"], jnp.float32)
-    return logits
+    return apply_head(variables, decoded)

@@ -1,0 +1,99 @@
+"""int8 ACTIVATION storage (infer/act_quant.py): calibration + accuracy.
+
+The decoder's intra-block activations are stored int8 with per-channel
+scales calibrated on one batch; predictions must agree with the bf16/f32
+path on nearly every pixel (the serving accuracy contract, VERDICT r2
+item 2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deadtrees_tpu.core import save_checkpoint
+from deadtrees_tpu.models import create_model, init_model
+
+HP = dict(
+    architecture="efficientunet++",
+    encoder_name="timm-efficientnet-b0",
+    in_channels=4,
+    classes=3,
+    decoder_channels=[24, 16, 16, 8, 8],
+)
+
+
+def _jiggle(variables, seed=1):
+    rng = np.random.default_rng(seed)
+
+    def f(path, leaf):
+        name = jax.tree_util.keystr(path)
+        if "mean" in name:
+            return jnp.asarray(rng.uniform(-0.2, 0.2, leaf.shape), leaf.dtype)
+        if "var" in name:
+            return jnp.asarray(rng.uniform(0.8, 1.2, leaf.shape), leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(f, variables)
+
+
+def test_int8_activation_decoder_matches_f32():
+    from deadtrees_tpu.infer.act_quant import (
+        calibrate_decoder,
+        make_int8_block_fn,
+    )
+    from deadtrees_tpu.ops.fused_decoder import (
+        fold_effunetpp_decoder,
+        fused_decoder_nhwc,
+    )
+
+    model = create_model(**HP, dtype=jnp.float32)
+    variables = _jiggle(init_model(model, jax.random.PRNGKey(0), image_size=32))
+    folded = fold_effunetpp_decoder(variables)
+    dc = tuple(HP["decoder_channels"])
+
+    # feature pyramid from the real encoder
+    from deadtrees_tpu.ops.fused_decoder import encode_features
+
+    img = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, 32, 32, 4)).astype(np.float32)
+    )
+    feats = encode_features(model, variables, img)
+
+    ref = fused_decoder_nhwc(feats, folded, dc)
+    scales = calibrate_decoder(feats, folded, dc)
+    assert all(float(jnp.min(s)) > 0 for s in scales.values())
+
+    out = fused_decoder_nhwc(
+        feats, folded, dc, block_fn=make_int8_block_fn(scales)
+    )
+    assert out.shape == ref.shape
+    # int8 storage error stays small relative to the activation range
+    rel = float(
+        jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-6)
+    )
+    assert rel < 0.1, f"relative decoded error {rel}"
+
+
+def test_engine_w8a8_argmax_agreement(tmp_path):
+    from deadtrees_tpu.infer import JaxInference
+
+    model = create_model(**HP, dtype=jnp.float32)
+    variables = _jiggle(init_model(model, jax.random.PRNGKey(0), image_size=32))
+    path = tmp_path / "m.ckpt"
+    save_checkpoint(
+        path, params=variables["params"], batch_stats=variables["batch_stats"],
+        hparams=HP,
+    )
+    img = np.random.default_rng(3).integers(0, 255, (2, 32, 32, 4), np.uint8)
+    ref = JaxInference(path).run(img)
+    eng = JaxInference(path, quantized="w8a8")
+    out = eng.run(img)  # calibrates on this batch, then predicts
+    assert eng._scales is not None
+    agree = (out == ref).mean()
+    # untrained nets on noise have many near-tied logits; trained-model
+    # agreement is measured on TPU in the bench (--quantized w8a8)
+    assert agree > 0.95, f"argmax agreement {agree}"
+
+    # second call reuses the calibration
+    out2 = eng.run(img)
+    np.testing.assert_array_equal(out, out2)
