@@ -211,12 +211,14 @@ class JaxInference(Inference):
         batch = self._slice_channels(np.asarray(batch))
         if self.quantized == "w8a8":
             if self._scales is None:
-                # post-training calibration on the first served batch
+                # post-training calibration on (a slice of) the first
+                # served batch — the full-bs calibration program can
+                # exceed HBM at flagship scale
                 self._scales = jax.tree_util.tree_map(
                     jnp.asarray,
                     self._calibrate(
                         self.variables["params"],
-                        self.variables["batch_stats"], batch,
+                        self.variables["batch_stats"], batch[:32],
                     ),
                 )
             return np.asarray(

@@ -55,6 +55,19 @@ def _partwise_grid_enabled() -> bool:
     return os.environ.get("DEADTREES_PARTWISE_GRID", "0") == "1"
 
 
+def _partwise_rows() -> set:
+    """Selective partwise: ``DEADTREES_PARTWISE_ROWS="3"`` (comma list of
+    grid layer indices) enables concat-free consumption ONLY for those
+    dense-grid rows. PERF.md r3: row 3 carries 46% of the flagship
+    forward and its x_0_3 concat alone is ~22 ms/call at bs=128/512²,
+    while whole-grid partwise blows compile 18→50+ min — per-row gating
+    bounds the extra conv shapes to the cells that pay."""
+    import os
+
+    v = os.environ.get("DEADTREES_PARTWISE_ROWS", "")
+    return {int(t) for t in v.split(",") if t.strip().isdigit()}
+
+
 def _lowres_expand_enabled() -> bool:
     import os
 
@@ -209,7 +222,12 @@ class EffUnetPlusPlusDecoderBlock(nn.Module):
             if skip is not None
             else []
         )
-        if _partwise_grid_enabled():
+        row = (
+            int(self.name.rsplit("_", 1)[1])
+            if self.name and self.name.startswith("x_")
+            else None
+        )
+        if _partwise_grid_enabled() or (row is not None and row in _partwise_rows()):
             up = (
                 Lowres2x(x) if _lowres_expand_enabled()
                 else upsample2x_nearest(x)

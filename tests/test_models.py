@@ -177,3 +177,12 @@ def test_partwise_grid_matches_default(monkeypatch, rng):
     got = model.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+    # per-row gating (DEADTREES_PARTWISE_ROWS): only the listed grid rows
+    # go concat-free; result must still match exactly
+    monkeypatch.delenv("DEADTREES_PARTWISE_GRID", raising=False)
+    monkeypatch.delenv("DEADTREES_LOWRES_EXPAND", raising=False)
+    monkeypatch.setenv("DEADTREES_PARTWISE_ROWS", "2,3")
+    got2 = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
