@@ -106,6 +106,14 @@ def main():
             )
         except Exception as e:
             print(f"{name}: XLA {t_x:.2f} ms; fused FAILED: {e}", flush=True)
+        # drop device buffers + compiled programs before the next case —
+        # retained arrays from a 256²x128 case OOM the 16 GB HBM
+        # (ResourceExhausted observed when running 3 cases in-process)
+        del x, variables, fp, xla_fn, fused_fn
+        jax.clear_caches()
+        import gc
+
+        gc.collect()
 
 
 if __name__ == "__main__":
