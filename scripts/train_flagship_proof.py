@@ -46,7 +46,9 @@ def main() -> int:
     tmp = Path(tempfile.mkdtemp(prefix="flagship_proof_"))
     data = tmp / "data"
     data.mkdir()
-    n_shards, per_shard = 6, 32
+    # the datamodule splits shards 0.7/0.2/0.1 (reference fractions), so
+    # 10 shards leave 7 for train: 7*32/32 = 7 steps/epoch, 84 steps ≥ 50
+    n_shards, per_shard = 10, 32
     for i in range(n_shards):
         _write_shard(
             data / f"train-combo-{i:06d}.tar", per_shard, seed=i, size=256
