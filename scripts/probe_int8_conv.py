@@ -89,11 +89,46 @@ def main():
         )
         return y.sum()
 
+    # the production shape: int8 in → conv → requantize epilogue → int8
+    # out (the int32 accumulator never reaches HBM if the epilogue fuses)
+    scale = jnp.float32(0.01)
+
+    @jax.jit
+    def conv_int8_req(x, w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        q = jnp.clip(jnp.round(y.astype(jnp.float32) * scale), -127, 127
+                     ).astype(jnp.int8)
+        return q.astype(jnp.int32).sum()
+
+    @jax.jit
+    def dw_int8_req(x, w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", feature_group_count=C,
+            dimension_numbers=dn, preferred_element_type=jnp.int32,
+        )
+        q = jnp.clip(jnp.round(y.astype(jnp.float32) * scale), -127, 127
+                     ).astype(jnp.int8)
+        return q.astype(jnp.int32).sum()
+
+    # chain: does a dequant PROLOGUE into a conv avoid materializing bf16?
+    @jax.jit
+    def conv_bf16_from_int8(x, w):
+        xb = x.astype(jnp.bfloat16) * jnp.bfloat16(0.01)
+        y = jax.lax.conv_general_dilated(xb, w, (1, 1), "SAME",
+                                         dimension_numbers=dn)
+        return y.astype(jnp.float32).sum()
+
     for name, fn, args in [
         ("1x1 conv bf16", conv_bf16, (xb, wb)),
         ("1x1 conv int8", conv_int8, (x8, w8)),
+        ("1x1 conv int8->int8", conv_int8_req, (x8, w8)),
         ("dw3x3 bf16", dw_bf16, (xb, dwb)),
         ("dw3x3 int8", dw_int8, (x8, dw8)),
+        ("dw3x3 int8->int8", dw_int8_req, (x8, dw8)),
+        ("1x1 bf16 w/ int8-dequant prologue", conv_bf16_from_int8, (x8, wb)),
     ]:
         try:
             t = bench(fn, *args)
