@@ -77,10 +77,12 @@ class JaxInference(Inference):
     ):
         """``fused_decoder`` (efficientunet++ checkpoints only) routes the
         decoder through Pallas kernels with BatchNorms folded at load:
-        ``"nhwc"`` (or ``True``) = the r3 fat-cell path (ops/fused_cell.py,
-        production bs=128), ``"chw"`` = the r1 W-in-lanes path for
-        small-batch latency serving. Argmax-equivalent to the flax path
-        (see PERF.md for current end-to-end numbers).
+        ``"nhwc"`` (or ``True``) = the r3 fat-cell path (ops/fused_cell.py),
+        ``"chw"`` = the r1 W-in-lanes path. Both are OPT-IN experiments:
+        at the production bs=128 the flax/XLA path measured fastest (XLA's
+        batch-minor layouts — PERF.md r3); the kernels win only at small
+        batches/latency-oriented shapes. Argmax-equivalent to the flax
+        path either way.
 
         ``quantized=True`` (or ``"w8"``) round-trips kernels through
         per-channel int8 ONCE at load time and then runs the normal

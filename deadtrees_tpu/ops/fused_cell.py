@@ -18,12 +18,21 @@ Two passes per block (the SE global pool forces the split):
   pass 2 (grid B×H-tiles): scse = h·gate + h·σ(h·w_sse)
                            out  = scse·W2 + b2 (+ x·Wsk + bsk | + x)
 
-HBM traffic per block: read x, write h, read h, read x, write out — the
-y/scse intermediates and the dw input halo never round-trip HBM. The H
-halo comes from overlapping `pl.Element` windows on the H axis, which is
-an OUTER dim in NHWC (minor=C lanes, second-minor=W sublanes), so window
-offsets/sizes are unconstrained — no sublane-tile padding, no manual DMA
-(which crashes this attachment's remote compiler, PERF.md r1).
+HBM traffic per block: read x (as overlap tiles), write h, read h, read
+x, write out — the y/scse intermediates never round-trip HBM. The dw's
+H halo comes from MATERIALIZED overlap tiles (`_overlap_tiles`, one
+cheap XLA copy) so the kernel reads regular, double-buffered blocks;
+overlapping `pl.Element` windows were tried first and measured equally
+slow (PERF.md r3). Manual HBM DMA is not an option on this attachment
+(crashes the remote compiler, PERF.md r1).
+
+STATUS (r3, measured): at the production bs=128 this kernel LOSES to
+XLA (0.71× at the x_3_3 geometry) — Pallas pins the channel axis to
+the minor/lane dim, so e.g. 88-channel tensors pad to 128 lanes, while
+XLA assigns batch-minor layouts (`{0,3,2,1}`, bs=128 fills the lanes
+exactly) to these tensors and streams them pad-free. Kept as an
+opt-in (`JaxInference(fused_decoder="nhwc")`) and as the record of why
+layout freedom, not fusion, is the binding constraint here.
 
 Inference only (BNs folded on host); exact-semantics parity with
 ``blocks.InvertedResidual`` is enforced by tests/test_fused_cell.py.
