@@ -77,12 +77,15 @@ class JaxInference(Inference):
     ):
         """``fused_decoder`` (efficientunet++ checkpoints only) routes the
         decoder through Pallas kernels with BatchNorms folded at load:
-        ``"nhwc"`` (or ``True``) = the r3 fat-cell path (ops/fused_cell.py),
-        ``"chw"`` = the r1 W-in-lanes path. Both are OPT-IN experiments:
-        at the production bs=128 the flax/XLA path measured fastest (XLA's
-        batch-minor layouts — PERF.md r3); the kernels win only at small
-        batches/latency-oriented shapes. Argmax-equivalent to the flax
-        path either way.
+
+        - ``"auto"``: batch-size-aware — requests with ≤8 images run the
+          CHW W-in-lanes kernels (measured 1.42× over flax at bs=4/512²,
+          PERF.md r3: per-image grids pay off exactly when the batch
+          can't fill XLA's batch-minor layouts), larger batches take the
+          flax/XLA path (fastest at bs=128). The serving API uses this.
+        - ``"chw"`` / ``"nhwc"`` (or ``True``): force one kernel family.
+
+        Argmax-equivalent to the flax path in every mode.
 
         ``quantized=True`` (or ``"w8"``) round-trips kernels through
         per-channel int8 ONCE at load time and then runs the normal
@@ -175,18 +178,22 @@ class JaxInference(Inference):
             folded = fold_effunetpp_decoder(self.variables)
             interp = jax.devices()[0].platform != "tpu"
             layout = "nhwc" if fused_decoder in (True, "nhwc") else "chw"
+            auto = fused_decoder == "auto"
 
             @jax.jit
             def _predict(params, batch_stats, img_u8):
                 img = normalize(img_u8.astype(jnp.float32), mean, std)
-                logits = fused_forward(
-                    model,
-                    {"params": params, "batch_stats": batch_stats},
-                    folded,
-                    img,
-                    interpret=interp,
-                    layout=layout,
-                )
+                variables = {"params": params, "batch_stats": batch_stats}
+                # shapes are static under jit: each batch size traces its
+                # own program, so this branch is resolved at compile time
+                if auto and img_u8.shape[0] > 8:
+                    logits = model.apply(variables, img, train=False)
+                else:
+                    logits = fused_forward(
+                        model, variables, folded, img,
+                        interpret=interp,
+                        layout="chw" if auto else layout,
+                    )
                 return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
         else:

@@ -64,7 +64,15 @@ class SegmentationService:
         self.model_name = model_name
         self.engines: Dict[str, object] = {}
         if checkpoint:
-            self.engines["jax"] = JaxInference(checkpoint)
+            # API requests are small batches: batch-size-aware decoder
+            # routing (≤8 images → fused CHW kernels, 1.42× at bs=4/512²;
+            # PERF.md r3). Non-efficientunet++ checkpoints fall back.
+            try:
+                self.engines["jax"] = JaxInference(
+                    checkpoint, fused_decoder="auto"
+                )
+            except Exception:
+                self.engines["jax"] = JaxInference(checkpoint)
         if exported:
             self.engines["exported"] = ExportedInference(exported)
         if not self.engines:
