@@ -78,11 +78,12 @@ class JaxInference(Inference):
         """``fused_decoder`` (efficientunet++ checkpoints only) routes the
         decoder through Pallas kernels with BatchNorms folded at load:
 
-        - ``"auto"``: batch-size-aware — requests with ≤8 images run the
-          CHW W-in-lanes kernels (measured 1.42× over flax at bs=4/512²,
-          PERF.md r3: per-image grids pay off exactly when the batch
-          can't fill XLA's batch-minor layouts), larger batches take the
-          flax/XLA path (fastest at bs=128). The serving API uses this.
+        - ``"auto"``: batch-size-aware — requests with ≤32 images run the
+          CHW W-in-lanes kernels (measured over flax at 512²: 1.42× at
+          bs=4, 1.25× at 8, 1.20× at 16, 1.19× at 32 — PERF.md r3;
+          per-image grids pay off exactly when the batch can't fill
+          XLA's batch-minor layouts), larger batches take the flax/XLA
+          path (fastest at bs=128). The serving API uses this.
         - ``"chw"`` / ``"nhwc"`` (or ``True``): force one kernel family.
 
         Argmax-equivalent to the flax path in every mode.
@@ -186,7 +187,7 @@ class JaxInference(Inference):
                 variables = {"params": params, "batch_stats": batch_stats}
                 # shapes are static under jit: each batch size traces its
                 # own program, so this branch is resolved at compile time
-                if auto and img_u8.shape[0] > 8:
+                if auto and img_u8.shape[0] > 32:
                     logits = model.apply(variables, img, train=False)
                 else:
                     logits = fused_forward(
