@@ -75,11 +75,11 @@ def test_engine_fused_decoder_flag(tmp_path):
     b = JaxInference(path, fused_decoder=True).run(img)
     assert (a != b).mean() < 1e-2
 
-    # batch-size-aware "auto": ≤8 images route through the CHW kernels,
+    # batch-size-aware "auto": ≤32 images route through the CHW kernels,
     # bigger batches through flax — both must match the plain engine
     auto = JaxInference(path, fused_decoder="auto")
     assert (auto.run(img) != a).mean() < 1e-2
-    big = np.random.default_rng(1).integers(0, 255, (9, 32, 32, 4), np.uint8)
+    big = np.random.default_rng(1).integers(0, 255, (33, 32, 32, 4), np.uint8)
     np.testing.assert_array_equal(
         auto.run(big), JaxInference(path).run(big)
     )
