@@ -52,6 +52,7 @@ def folded_block_int8(
     x: jnp.ndarray,
     fp: FoldedBlockParams,
     scales: Dict[str, jnp.ndarray],
+    sites: frozenset = frozenset(("y", "h", "s")),
 ) -> jnp.ndarray:
     """One BN-folded InvertedResidual with int8 y/h/s activation storage.
 
@@ -70,27 +71,32 @@ def folded_block_int8(
         dimension_numbers=dn,
     ) + fpc.b1
     y = jax.nn.hard_swish(y.astype(jnp.float32))
-    yq = _quant(y, scales["y"])  # int8 in HBM
+    if "y" in sites:
+        y = _dequant(_quant(y, scales["y"]), scales["y"], dtype)
+    else:
+        y = y.astype(dtype)
 
     h = jax.lax.conv_general_dilated(
-        _dequant(yq, scales["y"], dtype),
-        fpc.dw.reshape(*fp.dw.shape[:2], 1, cmid), (1, 1), "SAME",
+        y, fpc.dw.reshape(*fp.dw.shape[:2], 1, cmid), (1, 1), "SAME",
         feature_group_count=cmid, dimension_numbers=dn,
     ) + fpc.b_dw
     h = jax.nn.hard_swish(h.astype(jnp.float32))
-    hq = _quant(h, scales["h"])
-
-    hf = _dequant(hq, scales["h"], dtype)
+    if "h" in sites:
+        hf = _dequant(_quant(h, scales["h"]), scales["h"], dtype)
+    else:
+        hf = h.astype(dtype)
     pooled = jnp.mean(hf.astype(jnp.float32), axis=(1, 2))
     z = jnp.maximum(pooled @ fp.cse_w1 + fp.cse_b1, 0.0)
     gate = jax.nn.sigmoid(z @ fp.cse_w2 + fp.cse_b2)
     s = jax.nn.sigmoid(hf @ fpc.sse_w + fpc.sse_b)
     scse = hf * gate[:, None, None, :].astype(dtype) + hf * s
-    sq = _quant(scse.astype(jnp.float32), scales["s"])
+    if "s" in sites:
+        scse = _dequant(
+            _quant(scse.astype(jnp.float32), scales["s"]), scales["s"], dtype
+        )
 
     out = jax.lax.conv_general_dilated(
-        _dequant(sq, scales["s"], dtype),
-        fpc.w2.reshape(1, 1, cmid, -1), (1, 1), "SAME",
+        scse, fpc.w2.reshape(1, 1, cmid, -1), (1, 1), "SAME",
         dimension_numbers=dn,
     ) + fpc.b2
     if fp.wsk is not None:
@@ -176,13 +182,19 @@ def calibrate_decoder(
     }
 
 
-def make_int8_block_fn(scales: Dict[str, jnp.ndarray]) -> Callable:
+def make_int8_block_fn(
+    scales: Dict[str, jnp.ndarray],
+    sites: frozenset = frozenset(("y", "h", "s")),
+) -> Callable:
+    """``sites`` selects which activations quantize (accuracy knob: on a
+    converged b0, all three → 0.9917 argmax agreement; fewer sites trade
+    footprint for accuracy — measured in PROOFS/w8a8_accuracy_r3.json)."""
     def block_fn(x, fp, site):
         s = {
             "y": scales[f"{site}.y"],
             "h": scales[f"{site}.h"],
             "s": scales[f"{site}.s"],
         }
-        return folded_block_int8(x, fp, s)
+        return folded_block_int8(x, fp, s, sites=sites)
 
     return block_fn
