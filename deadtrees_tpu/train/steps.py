@@ -64,7 +64,12 @@ def _select(pred: jnp.ndarray, a: Any, b: Any) -> Any:
 
 
 def make_train_step(
-    model, loss: CompoundLoss, *, num_classes: int, remat: bool = False
+    model,
+    loss: CompoundLoss,
+    *,
+    num_classes: int,
+    remat: bool = False,
+    frozen_bn: bool = False,
 ):
     """Build the jitted train step.
 
@@ -76,6 +81,16 @@ def make_train_step(
     ``remat=True`` checkpoints the model forward: the backward recomputes
     activations instead of saving them — trades ~one extra forward for
     the HBM spills a batch-128 step otherwise incurs (see PERF.md r2).
+
+    ``frozen_bn=True`` runs every BatchNorm on its running statistics
+    (inference mode) while still training all weights, incl. BN affine
+    scale/bias — the net-wide version of what the reference's MultiStage
+    freeze stage does to the encoder (callbacks/multistage.py:37-40
+    ``encoder.eval()``). This is the standard frozen-BN fine-tuning recipe
+    AND a throughput mode: without batch-stat computation XLA drops one
+    full read pass per BN site in the forward and the normalization-stat
+    chain from the backward (PERF.md r3). ``batch_stats`` pass through
+    unchanged, so a frozen-BN stage composes with resume/checkpointing.
     """
 
     @partial(jax.jit, static_argnames=("frozen",), donate_argnums=(0,))
@@ -90,6 +105,16 @@ def make_train_step(
         distmap = batch.get("distmap")
 
         def forward(params, img):
+            if frozen_bn:
+                # no dropout anywhere in the model zoo, so train=False only
+                # switches BN to running stats; grads still flow through the
+                # BN affine params. No mutable collection -> stats untouched.
+                logits = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    img,
+                    train=False,
+                )
+                return logits, {"batch_stats": state.batch_stats}
             return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 img,

@@ -234,8 +234,17 @@ class Trainer:
         # loss + steps
         self.loss = build_loss(mc.get("losses", ["GDICE", "FOCAL", "BOUNDARY"]),
                                self.num_classes)
-        self.train_step = make_train_step(self.model, self.loss,
-                                          num_classes=self.num_classes)
+        self.train_step = make_train_step(
+            self.model,
+            self.loss,
+            num_classes=self.num_classes,
+            remat=bool(tc.get("remat", False)),
+            # frozen-BN fine-tuning: BN runs on running stats while all
+            # weights (incl. BN affine) train — net-wide analogue of the
+            # reference's MultiStage encoder.eval() freeze stage, and a
+            # measured throughput mode (PERF.md r3)
+            frozen_bn=bool(tc.get("frozen_bn", False)),
+        )
         self.eval_step = make_eval_step(self.model, self.loss,
                                         num_classes=self.num_classes)
         # built ONCE: a fresh closure per val epoch would recompile the

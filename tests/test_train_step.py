@@ -108,6 +108,45 @@ def test_frozen_encoder_step(setup):
     assert all(np.allclose(a, b) for a, b in zip(bs_old, bs_new))
 
 
+def test_frozen_bn_step(setup):
+    """frozen_bn=True: BN runs on running stats (loss matches the eval-mode
+    forward), batch_stats pass through unchanged, yet ALL params — including
+    BN scale/bias — still train."""
+    model, state, loss, batch = setup
+    step = make_train_step(model, loss, num_classes=NUM_CLASSES, frozen_bn=True)
+    eval_step = make_eval_step(model, loss, num_classes=NUM_CLASSES)
+
+    # eval loss on the same params/batch = the train=False forward's loss
+    state_copy = jax.tree_util.tree_map(jnp.copy, state)
+    eval_loss = float(eval_step(state_copy, batch, jnp.int32(0))["total_loss"])
+
+    snap = lambda t: [np.asarray(x) for x in jax.tree_util.tree_leaves(t)]  # noqa: E731
+    bs_old = snap(state.batch_stats)
+    p_old = snap(state.params)
+
+    new_state, metrics = step(state, batch, jnp.int32(0))
+    assert np.isclose(float(metrics["total_loss"]), eval_loss, rtol=1e-5)
+    # running stats untouched
+    bs_new = jax.tree_util.tree_leaves(new_state.batch_stats)
+    assert all(np.allclose(a, b) for a, b in zip(bs_old, bs_new))
+    # params did move — and specifically some BN affine leaf did
+    p_new = jax.tree_util.tree_leaves(new_state.params)
+    assert any(not np.allclose(a, b) for a, b in zip(p_old, p_new))
+    flat = jax.tree_util.tree_flatten_with_path(new_state.params)[0]
+    flat_old = jax.tree_util.tree_flatten_with_path(
+        jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(new_state.params), p_old
+        )
+    )[0]
+    bn_moved = [
+        not np.allclose(np.asarray(v), np.asarray(v_old))
+        for (path, v), (_, v_old) in zip(flat, flat_old)
+        if any("bn" in str(k).lower() or "norm" in str(k).lower()
+               for k in path)
+    ]
+    assert bn_moved and any(bn_moved)
+
+
 def test_nan_guard_skips_update(setup):
     model, state, loss, batch = setup
     train_step = make_train_step(model, loss, num_classes=NUM_CLASSES)
