@@ -34,7 +34,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 BASELINE_TILES_PER_SEC = 10_000.0
+
+
+def _tpu_opts():
+    # measured-win XLA:TPU flags (PERF.md r3 flag sweep); None off-TPU
+    from deadtrees_tpu.core.tpu_opts import tpu_compiler_options
+
+    return tpu_compiler_options()
 
 
 def bench_inference(
@@ -131,7 +140,7 @@ def bench_inference(
         folded = fold_effunetpp_decoder(variables)
         dc = tuple(decoder_channels)
 
-        @jax.jit
+        @partial(jax.jit, compiler_options=_tpu_opts())
         def _calib(params, batch_stats, img_u8):
             x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
             feats = encode_features(
@@ -147,7 +156,7 @@ def bench_inference(
             jnp.asarray, _calib(params, batch_stats, img[:32])
         )
 
-        @jax.jit
+        @partial(jax.jit, compiler_options=_tpu_opts())
         def run(params, batch_stats, img_u8):
             x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
             v = {"params": params, "batch_stats": batch_stats}
@@ -160,7 +169,7 @@ def bench_inference(
 
     else:
 
-        @jax.jit
+        @partial(jax.jit, compiler_options=_tpu_opts())
         def run(params, batch_stats, img_u8):
             x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
             # 2-bit packed class map: the serving wire format

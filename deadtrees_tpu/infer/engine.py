@@ -24,11 +24,14 @@ import logging
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple, Union
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from deadtrees_tpu.core.checkpoint import load_model
+from deadtrees_tpu.core.tpu_opts import tpu_compiler_options
 from deadtrees_tpu.data.augment import normalize
 from deadtrees_tpu.data.config import DATASET_CONFIG
 
@@ -147,7 +150,7 @@ class JaxInference(Inference):
             folded = fold_effunetpp_decoder(self.variables)
             dc = tuple(self.model.decoder_channels)
 
-            @jax.jit
+            @partial(jax.jit, compiler_options=tpu_compiler_options())
             def _calibrate(params, batch_stats, img_u8):
                 img = normalize(img_u8.astype(jnp.float32), mean, std)
                 feats = encode_features(
@@ -155,7 +158,7 @@ class JaxInference(Inference):
                 )
                 return calibrate_decoder(feats, folded, dc)
 
-            @jax.jit
+            @partial(jax.jit, compiler_options=tpu_compiler_options())
             def _predict(params, batch_stats, scales, img_u8):
                 img = normalize(img_u8.astype(jnp.float32), mean, std)
                 variables = {"params": params, "batch_stats": batch_stats}
@@ -199,7 +202,7 @@ class JaxInference(Inference):
 
         else:
 
-            @jax.jit
+            @partial(jax.jit, compiler_options=tpu_compiler_options())
             def _predict(params, batch_stats, img_u8):
                 img = normalize(img_u8.astype(jnp.float32), mean, std)
                 logits = model.apply(
@@ -296,7 +299,7 @@ class EnsembleInference(Inference):
             model = self.model
             k = self.num_classes
 
-            @jax.jit
+            @partial(jax.jit, compiler_options=tpu_compiler_options())
             def _predict(stacked_vars, img_u8):
                 img = normalize(img_u8.astype(jnp.float32), mean_h, std_h)
 

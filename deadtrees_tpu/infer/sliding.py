@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deadtrees_tpu.core.tpu_opts import tpu_compiler_options
 from deadtrees_tpu.data.augment import normalize
 from deadtrees_tpu.data.config import DATASET_CONFIG
 from deadtrees_tpu.infer.blocks import make_blocks_nhwc, unmake_blocks_nhwc
@@ -72,7 +73,8 @@ def make_scene_predictor(
     else:
         chunk_sharding = out_sharding = None
 
-    @partial(jax.jit, static_argnames=())
+    @partial(jax.jit, static_argnames=(),
+             compiler_options=tpu_compiler_options())
     def predict(params, batch_stats, scene_u8, valid):
         squeeze = scene_u8.ndim == 3
         if squeeze:

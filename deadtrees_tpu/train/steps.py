@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from deadtrees_tpu.core.tpu_opts import tpu_compiler_options
 from deadtrees_tpu.losses.functional import class2one_hot
 from deadtrees_tpu.losses.metrics import fscore
 from deadtrees_tpu.train.loss import CompoundLoss
@@ -93,7 +94,13 @@ def make_train_step(
     unchanged, so a frozen-BN stage composes with resume/checkpointing.
     """
 
-    @partial(jax.jit, static_argnames=("frozen",), donate_argnums=(0,))
+    @partial(
+        jax.jit,
+        static_argnames=("frozen",),
+        donate_argnums=(0,),
+        # measured-win TPU flags (core/tpu_opts.py); None off-TPU
+        compiler_options=tpu_compiler_options(),
+    )
     def train_step(
         state: TrainState,
         batch: Dict[str, jnp.ndarray],
@@ -174,7 +181,7 @@ def make_eval_step(model, loss: CompoundLoss, *, num_classes: int):
     torchmetrics CM (segmodel.py:291-335).
     """
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=tpu_compiler_options())
     def eval_step(
         state: TrainState, batch: Dict[str, jnp.ndarray], epoch: jnp.ndarray
     ) -> Dict[str, jnp.ndarray]:
@@ -223,6 +230,9 @@ def make_predict_step(model, *, return_probs: bool = True):
     probability tensor alone is ~400 MB of HBM writes per call.
     """
 
+    # NOTE: no compiler_options here — these steps get nested inside
+    # top-level serving jits (bench.py, profile_step.py) which carry the
+    # TPU flags themselves, and JAX rejects options on a nested jit.
     @jax.jit
     def predict_step(
         params: Any, batch_stats: Any, img: jnp.ndarray

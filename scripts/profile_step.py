@@ -37,6 +37,9 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from functools import partial  # noqa: E402
+from deadtrees_tpu.core.tpu_opts import tpu_compiler_options  # noqa: E402
+
 
 def build_train(args):
     from deadtrees_tpu.models import create_model
@@ -89,7 +92,8 @@ def build_train(args):
     # reduced to its scalar total (steps.py:104-111)
     from deadtrees_tpu.losses.functional import class2one_hot
 
-    @jax.jit
+    @partial(jax.jit,
+             compiler_options=tpu_compiler_options())
     def fwd(st, b):
         logits, _ = model.apply(
             {"params": st.params, "batch_stats": st.batch_stats},
@@ -140,7 +144,8 @@ def build_infer(args):
         ).astype(np.uint8)
     )
 
-    @jax.jit
+    @partial(jax.jit,
+             compiler_options=tpu_compiler_options())
     def run_scalar(params, batch_stats, img_u8):
         x = _normalize(img_u8.astype(jnp.float32), _DC.mean, _DC.std)
         # scalar output: pure device-compute timing (PERF.md r2: dispatch
