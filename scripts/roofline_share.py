@@ -78,7 +78,8 @@ class Instr:
 @dataclass
 class OpCost:
     hbm_bytes: float = 0.0
-    flops: float = 0.0
+    flops: float = 0.0  # MXU-eligible (dense conv / dot)
+    vpu_flops: float = 0.0  # grouped/depthwise conv: VPU-only
     notes: list = field(default_factory=list)
 
 
@@ -161,27 +162,50 @@ def parse_hlo(text: str):
     return entry, computations
 
 
-def conv_flops(instr: Instr, by_name) -> float:
-    """2 * out_elems * prod(window) * input-features-per-group."""
+def conv_flops(instr: Instr, by_name):
+    """-> (flops, grouped): 2 * out_elems * effective-window * in-per-group.
+
+    The window extent is capped by the LHS spatial extent: XLA:TPU
+    canonicalizes 1x1 convs into a full-window/full-pad correlation form
+    (window=HxW pad=(H-1)_(W-1), ``EmitAllBatchInSublanes``) where the
+    literal window product overcounts FLOPs ~10^5x — only the overlap
+    with the unpadded lhs contributes MACs.
+
+    ``grouped`` is True for feature_group_count>1 (depthwise family):
+    those contract 1-2 features per tap and cannot use the MXU — they
+    run on the VPU and get a different compute roofline.
+    """
     out_elems = 1
     for d in (instr.shapes[0].dims if instr.shapes else ()):
         out_elems *= d
     wm = re.search(r"window=\{[^}]*size=([\dx]+)", instr.attrs)
-    win = 1
-    if wm:
-        for s in wm.group(1).split("x"):
-            win *= int(s)
-    # rhs 'i' dim from dim_labels, e.g. b01f_01io->b01f
-    ipg = None
+    win_dims = [int(s) for s in wm.group(1).split("x")] if wm else []
     dm = re.search(r"dim_labels=([\w]+)_([\w]+)->", instr.attrs)
-    if dm and len(instr.operands) >= 2:
-        rhs_labels = dm.group(2)
-        rhs = by_name.get(instr.operands[1])
-        if rhs is not None and rhs.shapes:
-            idx = rhs_labels.find("i")
-            if 0 <= idx < len(rhs.shapes[0].dims):
-                ipg = rhs.shapes[0].dims[idx]
-    return 2.0 * out_elems * win * (ipg if ipg else 1)
+    ipg = None
+    lhs_spatial = []
+    if dm:
+        lhs_labels, rhs_labels = dm.group(1), dm.group(2)
+        if len(instr.operands) >= 2:
+            rhs = by_name.get(instr.operands[1])
+            if rhs is not None and rhs.shapes:
+                idx = rhs_labels.find("i")
+                if 0 <= idx < len(rhs.shapes[0].dims):
+                    ipg = rhs.shapes[0].dims[idx]
+            lhs = by_name.get(instr.operands[0])
+            if lhs is not None and lhs.shapes:
+                # spatial label chars are digits, in window order
+                lhs_spatial = [
+                    lhs.shapes[0].dims[i]
+                    for i, ch in enumerate(lhs_labels)
+                    if ch.isdigit() and i < len(lhs.shapes[0].dims)
+                ]
+    win = 1
+    for i, w in enumerate(win_dims):
+        cap = lhs_spatial[i] if i < len(lhs_spatial) else w
+        win *= min(w, cap)
+    gm = re.search(r"feature_group_count=(\d+)", instr.attrs)
+    grouped = bool(gm) and int(gm.group(1)) > 1
+    return 2.0 * out_elems * win * (ipg if ipg else 1), grouped
 
 
 def dot_flops(instr: Instr, by_name) -> float:
@@ -225,8 +249,13 @@ def cost_of(instr: Instr, entry, computations) -> OpCost:
             scope.update({i.name: i for i in insts})
     for b in body:
         if b.opcode == "convolution":
-            c.flops += conv_flops(b, scope)
-            c.notes.append("conv")
+            f, grouped = conv_flops(b, scope)
+            if grouped:
+                c.vpu_flops += f
+                c.notes.append("dwconv")
+            else:
+                c.flops += f
+                c.notes.append("conv")
         else:
             c.flops += dot_flops(b, scope)
             c.notes.append("dot")
@@ -252,14 +281,42 @@ def load_trace(outdir: str):
         p for p, n in pid_names.items()
         if "TPU" in n or "/device" in n.lower() or "Device" in n
     }
+    # device pids carry one "XLA Modules" row (whole-program spans that
+    # double-count every op) and one "XLA Ops" row — keep ops only
+    tid_names = {
+        (e["pid"], e["tid"]): e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+    }
+    op_rows = {
+        k for k, n in tid_names.items()
+        if k[0] in device_pids and n == "XLA Ops"
+    }
+    module_rows = {
+        k for k, n in tid_names.items()
+        if k[0] in device_pids and n == "XLA Modules"
+    }
     per_op = defaultdict(float)
+    module_events = defaultdict(list)  # module name -> durations
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
+        key = (e["pid"], e.get("tid"))
         name, dur = e.get("name", ""), float(e.get("dur", 0.0))
+        if key in module_rows:
+            if name and dur > 0:
+                module_events[name].append(dur)
+            continue
+        if op_rows and key not in op_rows:
+            continue
         if name and dur > 0:
             per_op[name] += dur
-    return per_op
+    # exact profiled-call count: executions of the dominant module
+    n_calls = 0
+    if module_events:
+        main = max(module_events, key=lambda k: sum(module_events[k]))
+        n_calls = len(module_events[main])
+    return per_op, n_calls
 
 
 def main():
@@ -272,6 +329,11 @@ def main():
                     help="HBM roofline GB/s (measured stream rate)")
     ap.add_argument("--peak-tflops", type=float, default=197.0,
                     help="bf16 MXU peak")
+    ap.add_argument("--vpu-tflops", type=float, default=2.4,
+                    help="VPU roofline for depthwise/grouped convs. The "
+                    "default is the best rate XLA's depthwise emitter was "
+                    "MEASURED to reach on this chip (C=256 dw, PERF.md r3) "
+                    "— a best-demonstrated bound, not a theoretical one")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--calls", type=int, default=0,
                     help="profiled call count (0: report shares only)")
@@ -280,10 +342,11 @@ def main():
     hlo_path = args.hlo if os.path.isabs(args.hlo) else os.path.join(
         args.outdir, args.hlo)
     entry, computations = parse_hlo(open(hlo_path).read())
-    per_op = load_trace(args.outdir)
+    per_op, trace_calls = load_trace(args.outdir)
 
     bw = args.bw_gbs * 1e9
     peak = args.peak_tflops * 1e12
+    vpu_peak = args.vpu_tflops * 1e12
     rows, unmatched_us, total_us = [], 0.0, 0.0
     for name, us in per_op.items():
         total_us += us
@@ -292,12 +355,18 @@ def main():
             unmatched_us += us
             continue
         c = cost_of(instr, entry, computations)
-        bound_s = max(c.hbm_bytes / bw, c.flops / peak)
+        terms = {
+            "hbm": c.hbm_bytes / bw,
+            "mxu": c.flops / peak,
+            "vpu": c.vpu_flops / vpu_peak,
+        }
+        kind = max(terms, key=terms.get)
         rows.append({
             "op": name, "us": us, "opcode": instr.opcode,
-            "hbm_mb": c.hbm_bytes / 1e6, "gflop": c.flops / 1e9,
-            "bound_us": bound_s * 1e6,
-            "kind": "mxu" if c.flops / peak > c.hbm_bytes / bw else "hbm",
+            "hbm_mb": c.hbm_bytes / 1e6,
+            "gflop": (c.flops + c.vpu_flops) / 1e9,
+            "bound_us": terms[kind] * 1e6,
+            "kind": kind,
         })
 
     matched_us = sum(r["us"] for r in rows)
@@ -306,7 +375,7 @@ def main():
     # ratios only via per-op efficiency with call count, else normalize by
     # the op's own share (efficiency is call-count invariant when --calls
     # given; otherwise estimate calls from the most common integer ratio)
-    calls = args.calls
+    calls = args.calls or trace_calls
     if not calls:
         cands = [r["us"] / r["bound_us"] for r in rows if r["bound_us"] > 0]
         cands.sort()
@@ -315,6 +384,9 @@ def main():
         calls = max(1, round(cands[max(len(cands) // 4 - 1, 0)])) if cands else 1
         print(f"estimated profiled calls: {calls} "
               "(pass --calls to override)", file=sys.stderr)
+    elif not args.calls:
+        print(f"profiled calls from trace module row: {calls}",
+              file=sys.stderr)
     for r in rows:
         r["eff"] = (r["bound_us"] * calls / r["us"]) if r["us"] else 0.0
 

@@ -55,8 +55,10 @@ def test_fusion_cost_excludes_vmem_operand():
     c = rs.cost_of(entry["fusion.1"], entry, comps)
     # HBM = x (read) + output (write); w lives in VMEM -> excluded
     assert c.hbm_bytes == 131072 * 2
-    # depthwise conv: 2 * out_elems * 3*3 * i(=1)
-    assert c.flops == 2 * (8 * 16 * 16 * 32) * 9 * 1
+    # depthwise conv: 2 * out_elems * 3*3 * i(=1) — VPU-classed (grouped
+    # convs contract one feature per tap; the MXU can't help)
+    assert c.vpu_flops == 2 * (8 * 16 * 16 * 32) * 9 * 1
+    assert c.flops == 0
 
 
 def test_copy_cost_read_write():
@@ -64,6 +66,28 @@ def test_copy_cost_read_write():
     c = rs.cost_of(entry["copy.1"], entry, comps)
     assert c.hbm_bytes == 131072 * 2
     assert c.flops == 0
+
+
+CANONICAL_1X1 = """\
+HloModule jit_g, is_scheduled=true
+
+ENTRY %main.2 (k.1: bf16[1,1,32,16], a.1: bf16[8,16,16,32]) -> bf16[16,16,16,8] {
+  %k.1 = bf16[1,1,32,16]{2,3,1,0:T(8,128)(2,1)} parameter(0)
+  %a.1 = bf16[8,16,16,32]{0,3,2,1:T(8,128)(2,1)} parameter(1)
+  ROOT %convolution.9 = bf16[8,16,16,16]{0,3,2,1:T(8,128)(2,1)} convolution(%k.1, %a.1), window={size=16x16 pad=15_15x15_15 rhs_reversal=1x1}, dim_labels=01fb_o01i->f01b
+}
+"""
+
+
+def test_canonical_full_window_conv_flops():
+    """XLA:TPU's 1x1-conv canonical form (window = rhs spatial extent,
+    pad = extent-1) must NOT count the literal window product: the
+    effective window is capped by the lhs spatial extent (1x1 here)."""
+    entry, comps = rs.parse_hlo(CANONICAL_1X1)
+    c = rs.cost_of(entry["convolution.9"], entry, comps)
+    # 2 * out_elems * eff_window(1) * i(=32)
+    assert c.flops == 2 * (8 * 16 * 16 * 16) * 1 * 32
+    assert c.vpu_flops == 0
 
 
 def test_parse_real_compiled_program():
