@@ -207,9 +207,13 @@ def bench_train(
     iters: int = 10,
     warmup: int = 3,
     decoder_channels=(256, 128, 64, 32, 16),
+    frozen_bn: bool = False,
 ) -> float:
     """Training-step throughput (tiles/s) at the production recipe: compound
-    GDICE+FOCAL+BOUNDARY loss, clipped Adam + cosine, BN updates."""
+    GDICE+FOCAL+BOUNDARY loss, clipped Adam + cosine, BN updates.
+
+    ``frozen_bn=True`` benches the fine-tuning mode (BN on running stats,
+    all weights train — PERF.md r3): +17% measured at bs=128."""
     from deadtrees_tpu.models import create_model
     from deadtrees_tpu.train import (
         OptimizerConfig,
@@ -243,7 +247,7 @@ def bench_train(
         params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
     )
     loss = build_loss(["GDICE", "FOCAL", "BOUNDARY"], 3)
-    step = make_train_step(model, loss, num_classes=3)
+    step = make_train_step(model, loss, num_classes=3, frozen_bn=frozen_bn)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -363,6 +367,21 @@ def main() -> None:
                         f"bench[train]: 256px bs=128: {train_tps:.1f} "
                         "tiles512/s", file=sys.stderr,
                     )
+                    # fine-tuning mode (frozen-BN, PERF.md r3): the measured
+                    # option for the reference recipe's encoder-frozen stage
+                    if time.perf_counter() - t_start < 1200:
+                        fb_tps = bench_train(
+                            args.architecture, args.encoder,
+                            image_size=256, batch_size=128, iters=6,
+                            frozen_bn=True,
+                        )
+                        extra["train_frozen_bn_512px_tiles_per_sec_per_chip"] = (
+                            round(fb_tps, 2)
+                        )
+                        print(
+                            f"bench[train frozen-bn]: 256px bs=128: "
+                            f"{fb_tps:.1f} tiles512/s", file=sys.stderr,
+                        )
                 except Exception as e:  # pragma: no cover
                     extra["train_512px_tiles_per_sec_per_chip"] = (
                         f"skipped({type(e).__name__})"
