@@ -73,6 +73,9 @@ def main():
                     help="repeatable key=value compiler option")
     ap.add_argument("--frozen-bn", action="store_true",
                     help="train mode: frozen-BN step (running stats)")
+    ap.add_argument("--frozen-encoder", action="store_true",
+                    help="train mode: multistage stage-1 step (encoder "
+                    "grads masked+DCEd, reference callbacks/multistage.py)")
     args = ap.parse_args()
     size = args.image_size or (512 if args.mode == "infer" else 256)
     options = dict(parse_opt(s) for s in args.opt)
@@ -143,9 +146,9 @@ def main():
         t0 = time.perf_counter()
         # make_train_step returns a jitted fn (donated state, static frozen);
         # .lower preserves those
-        compiled = step.lower(state, batch, jnp.int32(0)).compile(
-            compiler_options=options or None
-        )
+        compiled = step.lower(
+            state, batch, jnp.int32(0), frozen=args.frozen_encoder
+        ).compile(compiler_options=options or None)
         compile_s = time.perf_counter() - t0
         holder = {"state": state}
 
