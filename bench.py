@@ -39,6 +39,34 @@ from functools import partial
 BASELINE_TILES_PER_SEC = 10_000.0
 
 
+def _devices_with_retry(get=None, execv=None, sleep=None, max_tries=3):
+    """jax.devices(), retrying transient tunnel failures by re-exec.
+
+    The axon TPU attachment intermittently fails backend init with
+    ``Unable to initialize backend 'axon': UNAVAILABLE`` (observed r3:
+    a 25-min hang then RuntimeError). JAX caches the failed backend in
+    process, so a retry needs a fresh process: re-exec with a try
+    counter in the environment. Bounded by ``max_tries`` total attempts.
+    """
+    get = get or (lambda: jax.devices())
+    execv = execv or os.execv
+    sleep = sleep or time.sleep
+    tries = int(os.environ.get("DEADTREES_BENCH_INIT_TRIES", "0"))
+    try:
+        return get()
+    except RuntimeError as e:
+        if tries + 1 >= max_tries or "backend" not in str(e).lower():
+            raise
+        print(
+            f"bench: backend init failed ({e}); "
+            f"re-exec retry {tries + 1}/{max_tries - 1} in 60s",
+            file=sys.stderr,
+        )
+        os.environ["DEADTREES_BENCH_INIT_TRIES"] = str(tries + 1)
+        sleep(60)
+        execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def _tpu_opts():
     # measured-win XLA:TPU flags (PERF.md r3 flag sweep); None off-TPU
     from deadtrees_tpu.core.tpu_opts import tpu_compiler_options
@@ -306,7 +334,7 @@ def main() -> None:
     args = ap.parse_args()
 
     t_start = time.perf_counter()
-    platform = jax.devices()[0].platform
+    platform = _devices_with_retry()[0].platform
     if platform == "cpu":
         # keep the harness runnable anywhere: tiny proxy config on CPU
         args.encoder = "timm-efficientnet-b0"
