@@ -59,6 +59,10 @@ def folded_block_int8(
     Compute stays in the incoming dtype (bf16 on TPU — f32 everywhere was
     measured to push the bs-128/512² program past HBM); only the tiny
     pooled-gate math runs f32.
+
+    KEEP IN SYNC with fused_decoder.folded_block_xla_nhwc (the plain
+    restatement of this math) and folded_block_calibrate below — drift
+    guard: tests/test_act_quant.py::test_no_sites_block_matches_plain_nhwc_block.
     """
     dn = ("NHWC", "HWIO", "NHWC")
     cin = x.shape[-1]

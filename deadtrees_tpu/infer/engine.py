@@ -77,6 +77,7 @@ class JaxInference(Inference):
         std: Sequence[float] = DATASET_CONFIG.std,
         fused_decoder: Union[bool, str] = False,
         quantized: Union[bool, str] = False,
+        quant_sites: Sequence[str] = ("y",),
     ):
         """``fused_decoder`` (efficientunet++ checkpoints only) routes the
         decoder through Pallas kernels with BatchNorms folded at load:
@@ -87,7 +88,10 @@ class JaxInference(Inference):
           per-image grids pay off exactly when the batch can't fill
           XLA's batch-minor layouts), larger batches take the flax/XLA
           path (fastest at bs=128). The serving API uses this.
-        - ``"chw"`` / ``"nhwc"`` (or ``True``): force one kernel family.
+        - ``"chw"`` (or ``True``, the historical spelling) / ``"nhwc"``:
+          force one kernel family. CHW is the small-batch winner; the
+          NHWC fat-cell kernel measured 0.71× vs flax at bs=128
+          (ops/fused_cell.py) and exists for layout experiments.
 
         Argmax-equivalent to the flax path in every mode.
 
@@ -103,8 +107,31 @@ class JaxInference(Inference):
         stores the decoder's intra-block ACTIVATIONS as int8 in HBM with
         per-channel scales calibrated on the FIRST batch passed to
         :meth:`run` (infer/act_quant.py) — the bandwidth-bound decoder
-        passes move 4× fewer bytes. Accuracy: argmax agreement vs bf16
-        measured in tests/test_act_quant.py."""
+        passes move 4× fewer bytes. ``quant_sites`` selects which of the
+        three intra-block activations (y = post-expand, h = post-dw,
+        s = post-SCSE) are stored int8: the default single-site ``("y",)``
+        meets the ≥99.5% argmax-agreement serving bar on a converged
+        model (0.9960; full ``("y", "h", "s")`` = max byte savings at
+        0.9924 — PROOFS/w8a8_accuracy_r3.json)."""
+        _fused_choices = (False, True, "", "auto", "chw", "nhwc")
+        if fused_decoder not in _fused_choices:
+            raise ValueError(
+                f"fused_decoder={fused_decoder!r}; expected one of "
+                f"{_fused_choices}"
+            )
+        if quantized not in (False, True, "", "w8", "w8a8"):
+            raise ValueError(
+                f"quantized={quantized!r}; expected False, True ('w8'), "
+                "'w8' or 'w8a8'"
+            )
+        if quantized == "w8a8" and fused_decoder:
+            raise ValueError(
+                "quantized='w8a8' runs its own folded-decoder program; "
+                "it cannot be combined with fused_decoder"
+            )
+        bad_sites = set(quant_sites) - {"y", "h", "s"}
+        if bad_sites:
+            raise ValueError(f"unknown quant_sites {sorted(bad_sites)}")
         self.model, self.variables, self.hparams = load_model(checkpoint)
         self.in_channels = _sniff_in_channels(self.variables["params"], self.hparams)
         mean = tuple(mean)[: self.in_channels]
@@ -164,7 +191,10 @@ class JaxInference(Inference):
                 variables = {"params": params, "batch_stats": batch_stats}
                 feats = encode_features(model, variables, img)
                 decoded = fused_decoder_nhwc(
-                    feats, folded, dc, block_fn=make_int8_block_fn(scales)
+                    feats, folded, dc,
+                    block_fn=make_int8_block_fn(
+                        scales, sites=frozenset(quant_sites)
+                    ),
                 )
                 logits = apply_head(variables, decoded)
                 return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
@@ -181,10 +211,12 @@ class JaxInference(Inference):
 
             folded = fold_effunetpp_decoder(self.variables)
             interp = jax.devices()[0].platform != "tpu"
-            layout = "nhwc" if fused_decoder in (True, "nhwc") else "chw"
+            # True keeps its historical meaning: the CHW W-in-lanes
+            # kernels (the measured small-batch win); NHWC is opt-in.
+            layout = "nhwc" if fused_decoder == "nhwc" else "chw"
             auto = fused_decoder == "auto"
 
-            @jax.jit
+            @partial(jax.jit, compiler_options=tpu_compiler_options())
             def _predict(params, batch_stats, img_u8):
                 img = normalize(img_u8.astype(jnp.float32), mean, std)
                 variables = {"params": params, "batch_stats": batch_stats}
@@ -196,7 +228,7 @@ class JaxInference(Inference):
                     logits = fused_forward(
                         model, variables, folded, img,
                         interpret=interp,
-                        layout="chw" if auto else layout,
+                        layout=layout,
                     )
                 return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
@@ -324,6 +356,7 @@ class EnsembleInference(Inference):
             # (N dispatches) but matches the reference's anything-goes
             # member loading. in_channels may differ per member; run()
             # slices per member, so keep the WIDEST input here.
+            del variables_list  # don't hold N param sets across the re-load
             self._members = [
                 JaxInference(c, mean=mean, std=std) for c in checkpoints
             ]

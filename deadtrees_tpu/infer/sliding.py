@@ -226,7 +226,7 @@ def predict_scenes(
             jnp.asarray(stack), jnp.asarray(vstack),
         )
         pending.append((idx, group_tilers, out))
-        if len(pending) > 2:
+        if len(pending) > 1:  # cap at 2 in flight (incl. the one just sent)
             drain(pending.pop(0))
 
     for entry in pending:

@@ -160,7 +160,12 @@ def fused_decoder_chw(
 
 def folded_block_xla_nhwc(x: jnp.ndarray, fp: FoldedBlockParams) -> jnp.ndarray:
     """XLA fallback for one BN-folded InvertedResidual on NHWC tensors —
-    for thin/deep cells where the fat-cell kernel doesn't pay."""
+    for thin/deep cells where the fat-cell kernel doesn't pay.
+
+    KEEP IN SYNC with act_quant.folded_block_int8 / folded_block_calibrate:
+    they restate this math with quant/record hooks (drift guard:
+    tests/test_act_quant.py::test_no_sites_block_matches_plain_nhwc_block).
+    """
     dn = ("NHWC", "HWIO", "NHWC")
     cin = x.shape[-1]
     cmid = fp.w1.shape[1]

@@ -65,8 +65,9 @@ class SegmentationService:
         self.engines: Dict[str, object] = {}
         if checkpoint:
             # API requests are small batches: batch-size-aware decoder
-            # routing (≤8 images → fused CHW kernels, 1.42× at bs=4/512²;
-            # PERF.md r3). Non-efficientunet++ checkpoints fall back.
+            # routing (≤32 images → fused CHW kernels, 1.42× at bs=4/512²,
+            # measured crossover at 32 — PERF.md r3). Non-efficientunet++
+            # checkpoints fall back.
             try:
                 self.engines["jax"] = JaxInference(
                     checkpoint, fused_decoder="auto"

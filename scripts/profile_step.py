@@ -184,11 +184,25 @@ def summarize_trace(outdir: str):
         p for p, n in pid_names.items()
         if "TPU" in n or "/device" in n.lower() or "Device" in n
     }
+    # device pids carry an "XLA Modules" row whose whole-program spans
+    # double-count every op — keep the "XLA Ops" rows only (same filter
+    # as roofline_share.load_trace)
+    tid_names = {
+        (e["pid"], e["tid"]): e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+    }
+    op_rows = {
+        k for k, n in tid_names.items()
+        if k[0] in device_pids and n == "XLA Ops"
+    }
     per_op = defaultdict(float)
     per_cat = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        if op_rows and (e["pid"], e.get("tid")) not in op_rows:
             continue
         name = e.get("name", "")
         dur = float(e.get("dur", 0.0))  # us

@@ -97,3 +97,33 @@ def test_engine_w8a8_argmax_agreement(tmp_path):
     # second call reuses the calibration
     out2 = eng.run(img)
     np.testing.assert_array_equal(out, out2)
+
+
+def test_no_sites_block_matches_plain_nhwc_block():
+    """Drift guard: folded_block_int8 with NO quant sites must reproduce
+    folded_block_xla_nhwc — the two restate the same BN-folded
+    InvertedResidual math (the int8 variant adds f32 cast points that are
+    no-ops at f32 dtype). If this breaks, the copies diverged."""
+    from deadtrees_tpu.infer.act_quant import folded_block_int8
+    from deadtrees_tpu.ops.fused_decoder import (
+        fold_effunetpp_decoder,
+        folded_block_xla_nhwc,
+    )
+
+    model = create_model(**HP, dtype=jnp.float32)
+    variables = _jiggle(init_model(model, jax.random.PRNGKey(0), image_size=32))
+    folded = fold_effunetpp_decoder(variables)
+    # one real folded block of each flavor (with and without skip conv)
+    rng = np.random.default_rng(3)
+    checked = 0
+    pairs = [(k, fp) for k, fps in folded.items() for fp in fps]
+    for key, fp in pairs[:4]:
+        cin = fp.w1.shape[0]
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, cin)).astype(np.float32))
+        ref = folded_block_xla_nhwc(x, fp)
+        got = folded_block_int8(x, fp, scales={}, sites=frozenset())
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+        checked += 1
+    assert checked >= 2
