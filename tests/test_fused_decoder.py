@@ -83,3 +83,53 @@ def test_engine_fused_decoder_flag(tmp_path):
     np.testing.assert_array_equal(
         auto.run(big), JaxInference(path).run(big)
     )
+
+
+def test_engine_true_routes_chw_and_validates_args(tmp_path, monkeypatch):
+    """fused_decoder=True keeps its historical CHW meaning (the measured
+    small-batch win), and unknown engine knob values raise instead of
+    silently running the default path."""
+    from deadtrees_tpu.core import save_checkpoint
+    from deadtrees_tpu.infer import JaxInference
+
+    hp = dict(
+        architecture="efficientunet++",
+        encoder_name="timm-efficientnet-b0",
+        in_channels=4,
+        classes=3,
+        decoder_channels=[24, 16, 16, 8, 8],
+    )
+    model = create_model(**hp, dtype=jnp.float32)
+    variables = init_model(model, jax.random.PRNGKey(0), image_size=32)
+    path = tmp_path / "m.ckpt"
+    save_checkpoint(
+        path, params=variables["params"], batch_stats=variables["batch_stats"],
+        hparams=hp,
+    )
+
+    seen = {}
+    import deadtrees_tpu.ops.fused_decoder as fd
+
+    real = fd.fused_forward
+
+    def spy(model, variables, folded, img, **kw):
+        seen["layout"] = kw.get("layout")
+        return real(model, variables, folded, img, **kw)
+
+    # engine.__init__ imports fused_forward from the module at construction
+    # time, so patching the module attr before constructing is sufficient
+    monkeypatch.setattr(fd, "fused_forward", spy)
+    img = np.random.default_rng(0).integers(0, 255, (1, 32, 32, 4), np.uint8)
+    JaxInference(path, fused_decoder=True).run(img)
+    assert seen["layout"] == "chw"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quantized"):
+        JaxInference(path, quantized="int8")
+    with _pytest.raises(ValueError, match="fused_decoder"):
+        JaxInference(path, fused_decoder="fast")
+    with _pytest.raises(ValueError, match="cannot be combined"):
+        JaxInference(path, quantized="w8a8", fused_decoder="auto")
+    with _pytest.raises(ValueError, match="quant_sites"):
+        JaxInference(path, quantized="w8a8", quant_sites=("y", "q"))
