@@ -29,8 +29,20 @@ import numpy as np
 
 
 def main():
+    import argparse
+
     from deadtrees_tpu.infer.sliding import make_scene_predictor
     from deadtrees_tpu.models import create_model
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", type=int, default=2,
+                    help="scenes per compiled dispatch")
+    ap.add_argument("--sub", type=int, default=256,
+                    help="subtile size (256 = dataset-sample parity; 512 = "
+                    "the deployment Tiler default, runs the model in the "
+                    "bs=128/512² headline regime)")
+    ap.add_argument("--tile", type=int, default=2048, help="scene size")
+    args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
     model = create_model(
@@ -53,7 +65,7 @@ def main():
 
     variables = jax.tree_util.tree_map_with_path(materialize, shapes)
 
-    S, TH, sub = 2, 2048, 256  # 2 scenes/dispatch → 128 subtiles = bs 128
+    S, TH, sub = args.scenes, args.tile, args.sub
     fn = make_scene_predictor(
         model, subtile=sub, batch_size=128, packed=True
     )
