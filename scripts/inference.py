@@ -35,12 +35,18 @@ def main() -> None:
     parser.add_argument("--all", action="store_true", help="process ortho*.tif in dir")
     parser.add_argument("--bs", type=int, default=128)
     parser.add_argument("--tile-shape", type=int, default=2048)
-    parser.add_argument("--subtile", type=int, default=256)
+    parser.add_argument(
+        "--subtile", type=int, default=512,
+        help="model input size per subtile. 512 is the reference "
+        "deployment Tiler default (tiler.py:37) and the measured winner "
+        "(+15%% vs 256: the model runs in its bs=128/512² peak regime — "
+        "299 vs 261 tiles512/s, PERF.md r3 scene table)",
+    )
     parser.add_argument(
         "--scenes-per-dispatch", type=int, default=None,
         help="scenes batched per compiled call (default: fill one --bs "
-        "model sub-batch; a 2048²/256² scene has 64 subtiles, so bs=128 "
-        "packs 2 scenes per dispatch)",
+        "model sub-batch; a 2048² scene has 16 subtiles of 512², so "
+        "bs=128 packs 8 scenes per dispatch — or 2 with --subtile 256)",
     )
     parser.add_argument("--preview", action="store_true", help="also write PNG preview")
     args = parser.parse_args()

@@ -37,6 +37,20 @@ import numpy as np
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--learnable", action="store_true",
+                    help="train on LEARNABLE synthetic data (mask = "
+                    "deterministic function of the bands, "
+                    "quant_accuracy_proof.py) so the b5 actually converges "
+                    "and the w8a8 agreement is a serving-grade number")
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default: PROOFS/flagship_train_r3"
+                    "[_learnable].json)")
+    args = ap.parse_args()
+
     print(f"devices: {jax.devices()}", flush=True)
 
     from tests.test_data import _write_shard
@@ -49,11 +63,20 @@ def main() -> int:
     # the datamodule splits shards 0.7/0.2/0.1 (reference fractions), so
     # 10 shards leave 7 for train: 7*32/32 = 7 steps/epoch, 84 steps ≥ 50
     n_shards, per_shard = 10, 32
-    for i in range(n_shards):
-        _write_shard(
-            data / f"train-combo-{i:06d}.tar", per_shard, seed=i, size=256
-        )
-    print(f"dataset: {n_shards} shards x {per_shard} samples @256²", flush=True)
+    if args.learnable:
+        from scripts.quant_accuracy_proof import write_learnable_shard
+
+        for i in range(n_shards):
+            write_learnable_shard(
+                data / f"train-combo-{i:06d}.tar", per_shard, 256, i
+            )
+    else:
+        for i in range(n_shards):
+            _write_shard(
+                data / f"train-combo-{i:06d}.tar", per_shard, seed=i, size=256
+            )
+    print(f"dataset: {n_shards} shards x {per_shard} samples @256² "
+          f"(learnable={args.learnable})", flush=True)
 
     bs = 32  # the reference recipe's batch (protocol.md:24)
     cfg = {
@@ -73,7 +96,7 @@ def main() -> int:
             "training": {"learning_rate": 3e-4, "cosineannealing_tmax": 10},
         },
         "trainer": {
-            "max_epochs": 12,
+            "max_epochs": args.epochs,
             "min_epochs": 1,
             "precision": "bf16",
             "gradient_clip_val": 0.5,
@@ -126,7 +149,20 @@ def main() -> int:
     best = result.get("best_ckpt") or str(work / "checkpoints" / "last.ckpt")
     eng = JaxInference(best)
     rng = np.random.default_rng(0)
-    img = rng.integers(0, 255, (8, 256, 256, 4), np.uint8)
+    if args.learnable:
+        # held-out learnable samples: agreement where logits are decisive
+        from scripts.quant_accuracy_proof import write_learnable_shard
+
+        from deadtrees_tpu.data.tar import decode_sample, iter_tar_samples
+
+        eval_shard = tmp / "eval-000000.tar"
+        write_learnable_shard(eval_shard, 8, 256, 99)
+        img = np.stack(
+            [decode_sample(s)["image"]
+             for s in iter_tar_samples(str(eval_shard))]
+        )
+    else:
+        img = rng.integers(0, 255, (8, 256, 256, 4), np.uint8)
     pred = eng.run(img)
     assert pred.shape == (8, 256, 256)
     print(f"JaxInference round trip OK from {Path(best).name}", flush=True)
@@ -140,6 +176,7 @@ def main() -> int:
     out = {
         "model": "efficientunet++/timm-efficientnet-b5 (256,128,64,32,16)",
         "recipe": "bs32 256² adam3e-4 cosine10 clip0.5 bf16 multistage+swa",
+        "data": "learnable synthetic" if args.learnable else "random synthetic",
         "total_steps": total_steps,
         "loss_first_epoch": round(losses[0], 4),
         "loss_last_epoch": round(losses[-1], 4),
@@ -151,7 +188,11 @@ def main() -> int:
         "best_ckpt": str(best),
     }
     Path("PROOFS").mkdir(exist_ok=True)
-    Path("PROOFS/flagship_train_r3.json").write_text(json.dumps(out, indent=1))
+    dest = args.out or (
+        "PROOFS/flagship_train_r3_learnable.json" if args.learnable
+        else "PROOFS/flagship_train_r3.json"
+    )
+    Path(dest).write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
     return 0
 
