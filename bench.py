@@ -226,6 +226,67 @@ def bench_inference(
     return tiles / best
 
 
+def bench_scene(
+    architecture: str,
+    encoder: str,
+    *,
+    scenes: int = 8,
+    tile: int = 2048,
+    subtile: int = 512,
+    iters: int = 8,
+    batch_size: int = 128,
+    decoder_channels=(256, 128, 64, 32, 16),
+) -> float:
+    """Whole-orthophoto path (the reference's production workload,
+    scripts/inference.py): S scenes per compiled dispatch → subtile
+    blocks → model → on-device stitch → 2-bit packed D2H. Defaults match
+    the production CLI: 512² subtiles (the reference Tiler default,
+    tiler.py:37) × 8 scenes = one bs-128 sub-batch in the headline
+    regime (PERF.md r3 scene table: 299 vs 261 tiles512/s at 256²)."""
+    from deadtrees_tpu.infer.sliding import make_scene_predictor
+    from deadtrees_tpu.models import create_model
+
+    model = create_model(
+        architecture, encoder, in_channels=4, classes=3,
+        decoder_channels=decoder_channels, dtype=jnp.bfloat16,
+    )
+    spec = jax.ShapeDtypeStruct((1, subtile, subtile, 4), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda xx: model.init(jax.random.PRNGKey(0), xx, train=False), spec
+    )
+    host_rng = np.random.default_rng(0)
+
+    def materialize(path, s):
+        name = jax.tree_util.keystr(path)
+        if "var" in name or "scale" in name:
+            return jnp.ones(s.shape, s.dtype)
+        if np.issubdtype(s.dtype, np.floating):
+            return jnp.asarray(host_rng.normal(0, 0.05, s.shape).astype(s.dtype))
+        return jnp.zeros(s.shape, s.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(materialize, shapes)
+    fn = make_scene_predictor(model, subtile=subtile, batch_size=batch_size,
+                              packed=True)
+    scenes_u8 = jnp.asarray(
+        np.random.default_rng(1).integers(
+            0, 255, (scenes, tile, tile, 4), np.uint8)
+    )
+    valid = jnp.ones((scenes, (tile // subtile) ** 2), bool)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    out = fn(params, batch_stats, scenes_u8, valid)
+    np.asarray(out)  # sync (packed map: small D2H)
+    per_window = max(iters // 3, 1)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(per_window):
+            out = fn(params, batch_stats, scenes_u8, valid)
+        np.asarray(out)
+        best = min(best, (time.perf_counter() - t0) / per_window)
+    return scenes * (tile / 512.0) ** 2 / best
+
+
 def bench_train(
     architecture: str,
     encoder: str,
@@ -415,6 +476,30 @@ def main() -> None:
                         f"skipped({type(e).__name__})"
                     )
                     print(f"bench[train] skipped: {e}", file=sys.stderr)
+            # scene path (the production whole-orthophoto workload) rides
+            # along under the same budget rule
+            if time.perf_counter() - t_start < 1500:
+                try:
+                    import gc
+
+                    gc.collect()  # free the train cases' device buffers
+                    scene_tps = bench_scene(args.architecture, args.encoder)
+                    extra["scene_2048_sub512_tiles512_per_sec"] = round(
+                        scene_tps, 2
+                    )
+                    print(
+                        f"bench[scene]: 8x2048² sub512: {scene_tps:.1f} "
+                        "tiles512/s", file=sys.stderr,
+                    )
+                except Exception as e:  # pragma: no cover
+                    extra["scene_2048_sub512_tiles512_per_sec"] = (
+                        f"skipped({type(e).__name__})"
+                    )
+                    print(f"bench[scene] skipped: {e}", file=sys.stderr)
+            else:
+                extra["scene_2048_sub512_tiles512_per_sec"] = (
+                    "skipped(cold-compile-budget)"
+                )
 
     print(
         f"bench[{args.mode}]: {args.architecture}/{args.encoder} "

@@ -65,3 +65,15 @@ def test_devices_retry_passthrough_unrelated_error():
 def test_devices_retry_success_path():
     sentinel = ["dev0"]
     assert bench._devices_with_retry(get=lambda: sentinel) is sentinel
+
+
+def test_bench_scene_smoke_cpu():
+    """The scene ride-along must be runnable end-to-end (model init →
+    make_scene_predictor → packed D2H → tiles512/s math) — tiny geometry
+    so the CPU covers the wiring the TPU run exercises at full size."""
+    tps = bench.bench_scene(
+        "unet", "resnet18",
+        scenes=1, tile=128, subtile=64, iters=1, batch_size=4,
+        decoder_channels=(16, 8, 8, 8, 8),
+    )
+    assert tps > 0
