@@ -74,6 +74,28 @@ def _tpu_opts():
     return tpu_compiler_options()
 
 
+def _bench_variables(model, image_size: int, *, train: bool = False):
+    """Random variables materialized on HOST from eval_shape: compiling the
+    init program for the b5 flagship costs ~10 min on this attachment and
+    adds nothing to a throughput measurement. BN var/scale leaves must be
+    positive → ones (shared by every bench case below)."""
+    spec = jax.ShapeDtypeStruct((1, image_size, image_size, 4), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda xx: model.init(jax.random.PRNGKey(0), xx, train=train), spec
+    )
+    host_rng = np.random.default_rng(0)
+
+    def materialize(path, s):
+        name = jax.tree_util.keystr(path)
+        if "var" in name or "scale" in name:
+            return jnp.ones(s.shape, s.dtype)
+        if np.issubdtype(s.dtype, np.floating):
+            return jnp.asarray(host_rng.normal(0, 0.05, s.shape).astype(s.dtype))
+        return jnp.zeros(s.shape, s.dtype)
+
+    return jax.tree_util.tree_map_with_path(materialize, shapes)
+
+
 def bench_inference(
     architecture: str,
     encoder: str,
@@ -96,24 +118,7 @@ def bench_inference(
         decoder_channels=decoder_channels,
         dtype=jnp.bfloat16,
     )
-    # materialize random params on HOST from eval_shape: compiling the init
-    # program for the b5 flagship costs ~10 min on this attachment and adds
-    # nothing to a throughput measurement
-    spec = jax.ShapeDtypeStruct((1, image_size, image_size, 4), jnp.float32)
-    shapes = jax.eval_shape(
-        lambda xx: model.init(jax.random.PRNGKey(0), xx, train=False), spec
-    )
-    host_rng = np.random.default_rng(0)
-
-    def materialize(path, s):
-        name = jax.tree_util.keystr(path)
-        if "var" in name or "scale" in name:
-            return jnp.ones(s.shape, s.dtype)  # BN var/scale must be positive
-        if np.issubdtype(s.dtype, np.floating):
-            return jnp.asarray(host_rng.normal(0, 0.05, s.shape).astype(s.dtype))
-        return jnp.zeros(s.shape, s.dtype)
-
-    variables = jax.tree_util.tree_map_with_path(materialize, shapes)
+    variables = _bench_variables(model, image_size)
     predict = make_predict_step(model, return_probs=False)
 
     # uint8 input like the production engines: normalization happens inside
@@ -250,21 +255,7 @@ def bench_scene(
         architecture, encoder, in_channels=4, classes=3,
         decoder_channels=decoder_channels, dtype=jnp.bfloat16,
     )
-    spec = jax.ShapeDtypeStruct((1, subtile, subtile, 4), jnp.float32)
-    shapes = jax.eval_shape(
-        lambda xx: model.init(jax.random.PRNGKey(0), xx, train=False), spec
-    )
-    host_rng = np.random.default_rng(0)
-
-    def materialize(path, s):
-        name = jax.tree_util.keystr(path)
-        if "var" in name or "scale" in name:
-            return jnp.ones(s.shape, s.dtype)
-        if np.issubdtype(s.dtype, np.floating):
-            return jnp.asarray(host_rng.normal(0, 0.05, s.shape).astype(s.dtype))
-        return jnp.zeros(s.shape, s.dtype)
-
-    variables = jax.tree_util.tree_map_with_path(materialize, shapes)
+    variables = _bench_variables(model, subtile)
     fn = make_scene_predictor(model, subtile=subtile, batch_size=batch_size,
                               packed=True)
     scenes_u8 = jnp.asarray(
@@ -316,21 +307,7 @@ def bench_train(
         architecture, encoder, in_channels=4, classes=3,
         decoder_channels=decoder_channels, dtype=jnp.bfloat16,
     )
-    spec = jax.ShapeDtypeStruct((1, image_size, image_size, 4), jnp.float32)
-    shapes = jax.eval_shape(
-        lambda xx: model.init(jax.random.PRNGKey(0), xx, train=True), spec
-    )
-    host_rng = np.random.default_rng(0)
-
-    def materialize(path, s):
-        name = jax.tree_util.keystr(path)
-        if "var" in name or "scale" in name:
-            return jnp.ones(s.shape, s.dtype)
-        if np.issubdtype(s.dtype, np.floating):
-            return jnp.asarray(host_rng.normal(0, 0.05, s.shape).astype(s.dtype))
-        return jnp.zeros(s.shape, s.dtype)
-
-    variables = jax.tree_util.tree_map_with_path(materialize, shapes)
+    variables = _bench_variables(model, image_size, train=True)
     tx = make_optimizer(OptimizerConfig(steps_per_epoch=100))
     state = TrainState.create(
         params=variables["params"], batch_stats=variables["batch_stats"], tx=tx

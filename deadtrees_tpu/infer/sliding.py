@@ -36,7 +36,7 @@ from deadtrees_tpu.infer.tiler import Tiler
 def make_scene_predictor(
     model,
     *,
-    subtile: int = 256,
+    subtile: int = 512,
     batch_size: int = 128,
     mean: Sequence[float] = DATASET_CONFIG.mean,
     std: Sequence[float] = DATASET_CONFIG.std,
@@ -47,8 +47,10 @@ def make_scene_predictor(
 
     ``scene_u8`` is one scene (TH, TW, C) or a SCENE BATCH (S, TH, TW, C)
     with ``valid`` (N,) / (S, N). Batching scenes is the throughput lever:
-    one 2048² scene yields only 64 subtiles of 256² — below the chip's
-    bs=128 sweet spot — so the driver should feed 2+ scenes per dispatch
+    one 2048² scene yields only 16 subtiles of 512² (the reference Tiler
+    default, tiler.py:37, and the measured-fastest regime — PERF.md r3:
+    299 vs 261 tiles512/s at 256²) — below the chip's bs=128 sweet spot —
+    so the driver should feed several scenes per dispatch
     (``predict_scenes`` does); all scenes' subtiles run through shared
     full-size model sub-batches.
 
@@ -123,7 +125,7 @@ def predict_scene(
     scene: np.ndarray,
     *,
     tile_shape: Tuple[int, int] = (2048, 2048),
-    subtile: int = 256,
+    subtile: int = 512,
     batch_size: int = 128,
     predictor: Optional[Callable] = None,
     mean: Sequence[float] = DATASET_CONFIG.mean,
@@ -163,7 +165,7 @@ def predict_scenes(
     scenes: Sequence[np.ndarray],
     *,
     tile_shape: Tuple[int, int] = (2048, 2048),
-    subtile: int = 256,
+    subtile: int = 512,
     batch_size: int = 128,
     scenes_per_dispatch: Optional[int] = None,
     predictor: Optional[Callable] = None,
@@ -173,8 +175,8 @@ def predict_scenes(
     """Batched scene inference: N scenes → N (H, W) class maps.
 
     The production workload is thousands of 2048² orthophoto tiles
-    (reference scripts/inference.py:16-115). One 2048² scene = 64 subtiles
-    of 256², which underfills the chip (bs=64 ≈ 70% of bs=128 throughput);
+    (reference scripts/inference.py:16-115). One 2048² scene = 16 subtiles
+    of 512², which underfills the chip (the bs=128 sweet spot needs 8);
     this wrapper packs ``scenes_per_dispatch`` scenes per compiled call
     (default: enough to fill one ``batch_size`` model sub-batch) and keeps
     dispatches pipelined — JAX's async dispatch overlaps scene k+1's H2D

@@ -70,7 +70,7 @@ class Tiler:
         self,
         infile: Optional[Union[str, Path]] = None,
         tile_shape: Tuple[int, int] = (2048, 2048),
-        subtile_shape: Tuple[int, int] = (256, 256),
+        subtile_shape: Tuple[int, int] = (512, 512),
     ):
         if subtile_shape[0] != subtile_shape[1]:
             raise ValueError("Subtile required to have matching x/y dims")

@@ -281,6 +281,30 @@ class Trainer:
         self.es_monitor = es.get("monitor", "val/dice")
         self.es_mode = es.get("mode", "max")
 
+        # W&B-extras knobs (reference wandb_callbacks.py analogues,
+        # configs/callbacks/wandb.yaml). `false` disables a feature; a
+        # mapping tunes it; absent keys keep the defaults below.
+        wm = cb.get("watch_model", {})
+        self.watch_params = wm is not False
+        # histogram throttle in global steps (wandb.watch(log_freq=...));
+        # 0 = every val epoch
+        self.watch_log_freq = (
+            int(wm.get("log_freq", 0)) if isinstance(wm, dict) else 0
+        )
+        self._last_hist_step: Optional[int] = None
+        uca = cb.get("upload_ckpts_as_artifact", {})
+        self.upload_ckpts = uca is not False
+        self.upload_best_only = (
+            bool(uca.get("upload_best_only", True))
+            if isinstance(uca, dict) else True
+        )
+        self.log_cm_figures = bool(cb.get("log_confusion_matrix", True))
+        lip = cb.get("log_image_predictions", {})
+        self.log_sample_figures = lip is not False
+        self.sample_figure_count = (
+            int(lip.get("num_samples", 8)) if isinstance(lip, dict) else 8
+        )
+
         # SWA (reference recipe protocol.md:28 / Lightning
         # stochastic_weight_avg): average params from swa_epoch_start on,
         # recalibrate BN at the end, save swa.ckpt alongside best/last
@@ -333,11 +357,11 @@ class Trainer:
             batch_metrics.append(m)
 
         out = _mean_metrics(batch_metrics, "val")
-        if cms:
+        if cms and self.log_cm_figures:
             cm = np.sum(cms, axis=0)
             cm_masked = np.sum(cms_masked, axis=0) if cms_masked else None
             self._save_cm_figures(cm, cm_masked, epoch)
-        if first_batch is not None:
+        if first_batch is not None and self.log_sample_figures:
             self._save_sample_figure(first_batch, epoch)
         return out
 
@@ -376,7 +400,8 @@ class Trainer:
                 np.asarray(batch["image"]),
                 np.asarray(batch["mask"]),
                 np.asarray(probs),
-                n_samples=min(batch["image"].shape[0], 8),
+                n_samples=min(batch["image"].shape[0],
+                              self.sample_figure_count),
             )
             out = self.work_dir / "figures"
             out.mkdir(parents=True, exist_ok=True)
@@ -499,9 +524,15 @@ class Trainer:
                 if self.swa_start is not None and epoch >= self.swa_start:
                     self._update_swa()
 
-                self.metrics.log_param_histograms(
-                    self.state.params, int(self.state.step)
-                )
+                step_now = int(self.state.step)
+                if self.watch_params and (
+                    self._last_hist_step is None
+                    or step_now - self._last_hist_step >= self.watch_log_freq
+                ):
+                    self.metrics.log_param_histograms(
+                        self.state.params, step_now
+                    )
+                    self._last_hist_step = step_now
 
                 monitored = val.get(self.es_monitor, None)
                 if monitored is not None:
@@ -526,11 +557,18 @@ class Trainer:
         if self.keeper.best_path:
             log.info(f"Best checkpoint path:\n{self.keeper.best_path}")
             result["best_ckpt"] = str(self.keeper.best_path)
-            self.metrics.log_artifact(self.keeper.best_path, "checkpoint")
+            if self.upload_ckpts:
+                self.metrics.log_artifact(self.keeper.best_path, "checkpoint")
+        if self.upload_ckpts and not self.upload_best_only:
+            last = self.keeper.directory / "last.ckpt"
+            if last.exists():
+                self.metrics.log_artifact(last, "checkpoint-last")
         if self._swa_params is not None:
             swa_path = self._finalize_swa()
             if swa_path:
                 result["swa_ckpt"] = str(swa_path)
+                if self.upload_ckpts and not self.upload_best_only:
+                    self.metrics.log_artifact(swa_path, "checkpoint-swa")
         self.metrics.finish()
         return result
 

@@ -125,8 +125,11 @@ def main(workdir: Path) -> None:
     print(f"exported artifact: {artifact.stat().st_size / 1e6:.1f} MB, "
           f"run → {out.shape}, agreement vs engine {agree_exported:.4f}")
     # not exact equality: the AOT program may fuse in a different order,
-    # and a random-init model has near-tied logits on noise inputs
-    assert agree_exported > 0.999
+    # and a random-init model has near-tied logits on noise inputs — the
+    # f32 parity tests measure O(0.4%) argmax flips from accumulation
+    # order alone, so the walkthrough bars loosely (trained models with
+    # separated logits agree ≥99.9%; see tests/test_checkpoint_engine.py)
+    assert agree_exported > 0.98
 
     # ------------------------------------------------------------------ #
     # 5. Serving knobs (TPU-measured): int8 weight simulation, w8a8

@@ -35,12 +35,13 @@ def main():
     from deadtrees_tpu.models import create_model
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scenes", type=int, default=2,
-                    help="scenes per compiled dispatch")
-    ap.add_argument("--sub", type=int, default=256,
-                    help="subtile size (256 = dataset-sample parity; 512 = "
-                    "the deployment Tiler default, runs the model in the "
-                    "bs=128/512² headline regime)")
+    ap.add_argument("--scenes", type=int, default=8,
+                    help="scenes per compiled dispatch (8×16 subtiles of "
+                    "512² = one full bs-128 model sub-batch)")
+    ap.add_argument("--sub", type=int, default=512,
+                    help="subtile size (512 = the deployment Tiler default, "
+                    "runs the model in the bs=128/512² headline regime and "
+                    "measured +15%% over 256 — PERF.md r3)")
     ap.add_argument("--tile", type=int, default=2048, help="scene size")
     args = ap.parse_args()
 
@@ -49,21 +50,9 @@ def main():
         "efficientunet++", "timm-efficientnet-b5", in_channels=4, classes=3,
         decoder_channels=(256, 128, 64, 32, 16), dtype=jnp.bfloat16,
     )
-    spec = jax.ShapeDtypeStruct((1, 256, 256, 4), jnp.float32)
-    shapes = jax.eval_shape(
-        lambda xx: model.init(jax.random.PRNGKey(0), xx, train=False), spec
-    )
-    host = np.random.default_rng(0)
+    from bench import _bench_variables  # repo root is on sys.path above
 
-    def materialize(path, s):
-        name = jax.tree_util.keystr(path)
-        if "var" in name or "scale" in name:
-            return jnp.ones(s.shape, s.dtype)
-        if np.issubdtype(s.dtype, np.floating):
-            return jnp.asarray(host.normal(0, 0.05, s.shape).astype(s.dtype))
-        return jnp.zeros(s.shape, s.dtype)
-
-    variables = jax.tree_util.tree_map_with_path(materialize, shapes)
+    variables = _bench_variables(model, args.sub)
 
     S, TH, sub = args.scenes, args.tile, args.sub
     fn = make_scene_predictor(

@@ -83,7 +83,7 @@ def main() -> None:
             ).save(outfile.with_suffix(".png"))
 
     # scenes per compiled call: fill at least one full model sub-batch
-    # (one 2048²/256² scene = 64 subtiles; bs=128 → 2 scenes/dispatch)
+    # (one 2048²/512² scene = 16 subtiles; bs=128 → 8 scenes/dispatch)
     per_scene = (args.tile_shape // args.subtile) ** 2
     spd = args.scenes_per_dispatch or max(1, args.bs // per_scene)
 

@@ -126,3 +126,23 @@ def test_tiler_write_read_file(tmp_path):
     assert back.data.shape[:2] == (200, 200)
     assert np.array_equal(back.data[..., 0] if back.data.ndim == 3 else back.data,
                           tiler.prediction)
+
+
+def test_library_scene_defaults_are_512_subtile():
+    """512² subtiles everywhere by default: the reference Tiler default
+    (tiler.py:37) and the measured-fastest regime (PERF.md r3: 299 vs 261
+    tiles512/s at 256²). The CLI fix alone would leave API users in the
+    slow non-parity regime."""
+    import inspect
+
+    from deadtrees_tpu.infer.sliding import (
+        make_scene_predictor,
+        predict_scene,
+        predict_scenes,
+    )
+
+    t = Tiler()
+    assert t._subtile_shape == (512, 512)
+    assert t._tile_shape == (2048, 2048)  # padded-canvas default (memory)
+    for fn in (make_scene_predictor, predict_scene, predict_scenes):
+        assert inspect.signature(fn).parameters["subtile"].default == 512, fn

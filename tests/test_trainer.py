@@ -166,3 +166,38 @@ def test_predict_step_built_once(dataset, tmp_path, monkeypatch):
     trainer = Trainer(cfg, work_dir=work)
     trainer.fit()
     assert len(calls) == 1, f"predict step built {len(calls)} times"
+
+
+def test_wandb_extras_knobs_are_read(dataset, tmp_path):
+    """Every key in configs/callbacks/wandb.yaml changes behavior
+    (reference wandb_callbacks.py analogues): figure gates actually gate,
+    histogram throttle and artifact scope are parsed."""
+    work = tmp_path / "run_knobs"
+    work.mkdir()
+    cfg = _config(dataset, work)
+    cfg["callbacks"].update(
+        {
+            "watch_model": {"log_freq": 100},
+            "upload_ckpts_as_artifact": {"upload_best_only": False},
+            "log_confusion_matrix": False,
+            "log_image_predictions": False,
+        }
+    )
+    trainer = Trainer(cfg, work_dir=work)
+    trainer.fit()
+    assert trainer.watch_params and trainer.watch_log_freq == 100
+    assert trainer.upload_ckpts and not trainer.upload_best_only
+    assert not trainer.log_cm_figures and not trainer.log_sample_figures
+    figures = work / "figures"
+    assert not figures.exists() or not list(figures.glob("*.png"))
+
+    # `false` disables a feature wholesale
+    cfg2 = _config(dataset, work)
+    cfg2["callbacks"].update(
+        {"watch_model": False, "upload_ckpts_as_artifact": False}
+    )
+    t2 = Trainer(cfg2, work_dir=work)
+    t2._build()
+    assert not t2.watch_params and not t2.upload_ckpts
+    assert t2.log_cm_figures and t2.log_sample_figures  # defaults stay on
+    assert t2.sample_figure_count == 8
