@@ -238,7 +238,7 @@ def bench_scene(
     scenes: int = 8,
     tile: int = 2048,
     subtile: int = 512,
-    iters: int = 8,
+    iters: int = 12,
     batch_size: int = 128,
     decoder_channels=(256, 128, 64, 32, 16),
 ) -> float:
