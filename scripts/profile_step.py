@@ -155,6 +155,31 @@ def build_infer(args):
     return variables, img, run_scalar
 
 
+def build_scene(args):
+    """Whole-orthophoto program (bench.py bench_scene geometry: 8×2048²
+    scenes → 16 subtiles of 512² each → one bs-128 sub-batch → on-device
+    stitch → 2-bit packed map)."""
+    from deadtrees_tpu.infer.sliding import make_scene_predictor
+    from deadtrees_tpu.models import create_model
+
+    model = create_model(
+        args.architecture, args.encoder, in_channels=4, classes=3,
+        decoder_channels=(256, 128, 64, 32, 16), dtype=jnp.bfloat16,
+    )
+    sub = args.image_size if args.image_size != 256 else 512
+    from bench import _bench_variables
+
+    variables = _bench_variables(model, sub)
+    fn = make_scene_predictor(model, subtile=sub,
+                              batch_size=args.batch_size, packed=True)
+    scenes = jnp.asarray(
+        np.random.default_rng(1).integers(0, 255, (8, 2048, 2048, 4),
+                                          np.uint8)
+    )
+    valid = jnp.ones((8, (2048 // sub) ** 2), bool)
+    return variables, fn, scenes, valid
+
+
 def sync_scalar(x):
     np.asarray(x)
 
@@ -222,7 +247,8 @@ def summarize_trace(outdir: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["train", "infer"], default="train")
+    ap.add_argument("--mode", choices=["train", "infer", "scene"],
+                    default="train")
     ap.add_argument("--architecture", default="efficientunet++")
     ap.add_argument("--encoder", default="timm-efficientnet-b5")
     ap.add_argument("--image-size", type=int, default=256)
@@ -235,6 +261,38 @@ def main():
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
+
+    if args.mode == "scene":
+        variables, fn, scenes, valid = build_scene(args)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        t0 = time.perf_counter()
+        np.asarray(fn(params, batch_stats, scenes, valid))
+        print(f"scene compile+run1: {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        N = 6
+        t0 = time.perf_counter()
+        for _ in range(N):
+            out = fn(params, batch_stats, scenes, valid)
+        np.asarray(out)
+        ms = (time.perf_counter() - t0) / N * 1e3
+        tiles = 8 * (2048 / 512.0) ** 2
+        print(f"scene: {ms:.1f} ms/dispatch "
+              f"({tiles/(ms/1e3):.1f} tiles512/s)", flush=True)
+        if args.hlo:
+            txt = fn.lower(params, batch_stats, scenes,
+                           valid).compile().as_text()
+            Path(args.outdir).mkdir(parents=True, exist_ok=True)
+            (Path(args.outdir) / "scene_hlo.txt").write_text(txt)
+            print(f"HLO -> {args.outdir}/scene_hlo.txt ({len(txt)} bytes)")
+        if not args.no_trace:
+            Path(args.outdir).mkdir(parents=True, exist_ok=True)
+            jax.profiler.start_trace(args.outdir)
+            for _ in range(args.steps):
+                out = fn(params, batch_stats, scenes, valid)
+            np.asarray(out)
+            jax.profiler.stop_trace()
+            summarize_trace(args.outdir)
+        return
 
     if args.mode == "infer":
         variables, img, run = build_infer(args)
