@@ -220,6 +220,48 @@ class PartwiseConv1x1(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+def _combined_expand_skip_enabled() -> bool:
+    """Opt-in: compute the IR1 expand (Conv_0) and skip-projection
+    (Conv_3) as ONE convolution with output-axis-concatenated kernels.
+
+    Both convs read the same (possibly concatenated) block input as
+    separate full HBM passes, and the r3 roofline shows each already at
+    80-95% of the stream rate — so the only remaining lever is reading
+    the input once. The win requires XLA:TPU to multi-output-fuse the
+    two sliced BN/activation epilogues (measured: scripts/
+    probe_combined_conv.py); parameter tree unchanged (Conv_0/Conv_3
+    keep their own {kernel, bias}).
+    """
+    import os
+
+    return os.environ.get("DEADTREES_COMBINED_EXPAND_SKIP", "0") == "1"
+
+
+class Conv1x1Params(nn.Module):
+    """Parameter holder with nn.Conv-compatible naming ({kernel, bias})
+    for 1×1 convs whose compute is staged OUTSIDE the module (combined /
+    partwise execution). Checkpoints and converters see the exact tree
+    `nn.Conv(features, (1, 1), name=...)` would create."""
+
+    features: int
+    in_features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            self.param_dtype,
+        )
+        return kernel, bias
+
+
 class InvertedResidual(nn.Module):
     """Inverted bottleneck residual with embedded SCSE
     (reference efficientunetplusplus/decoder.py:9-60).
@@ -252,7 +294,45 @@ class InvertedResidual(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
 
-        if self.expansion_ratio == 1 and self.strides == 1:
+        combined = (
+            _combined_expand_skip_enabled()
+            and self.expansion_ratio == 1
+            and self.strides == 1
+            and in_ch != self.features
+        )
+        skip_pre = None
+        if combined:
+            # One conv with [W0 | W3] on the output axis reads the block
+            # input ONCE for both the expand and the skip projection
+            # (partwise over un-materialized parts when given a list).
+            k0, b0 = Conv1x1Params(
+                mid, in_ch, name="Conv_0", param_dtype=self.param_dtype
+            )()
+            k3, b3 = Conv1x1Params(
+                self.features, in_ch, name="Conv_3",
+                param_dtype=self.param_dtype,
+            )()
+            kc = jnp.concatenate([k0, k3], axis=-1).astype(self.dtype)
+            bc = jnp.concatenate([b0, b3], axis=-1).astype(self.dtype)
+            out = None
+            off = 0
+            for p in parts:
+                c = _part_channels(p)
+                t = (p.tensor if isinstance(p, Lowres2x) else p).astype(
+                    self.dtype
+                )
+                y = jax.lax.conv_general_dilated(
+                    t, kc[:, :, off : off + c, :], (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                if isinstance(p, Lowres2x):
+                    y = upsample2x_nearest(y)
+                out = y if out is None else out + y
+                off += c
+            out = out + bc
+            h = out[..., :mid]
+            skip_pre = out[..., mid:]
+        elif self.expansion_ratio == 1 and self.strides == 1:
             # expand is 1×1: apply partwise, skipping the concat
             h = PartwiseConv1x1(
                 mid, in_ch, name="Conv_0",
@@ -285,10 +365,13 @@ class InvertedResidual(nn.Module):
         h = norm()(h)
 
         if in_ch != self.features:
-            x = PartwiseConv1x1(
-                self.features, in_ch, name="Conv_3",
-                dtype=self.dtype, param_dtype=self.param_dtype,
-            )(parts)
+            if skip_pre is not None:
+                x = skip_pre
+            else:
+                x = PartwiseConv1x1(
+                    self.features, in_ch, name="Conv_3",
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                )(parts)
             x = norm()(x)
         else:
             x = materialize_parts(parts)

@@ -68,6 +68,19 @@ def _partwise_rows() -> set:
     return {int(t) for t in v.split(",") if t.strip().isdigit()}
 
 
+def _partwise_cells() -> set:
+    """Finest gating: ``DEADTREES_PARTWISE_CELLS="x_0_3"`` (comma list of
+    dense-grid cell names) enables concat-free consumption for exactly
+    those cells. PERF.md r3: whole-row-3 partwise extends too many live
+    ranges at bs=128/512² (21.3 G > 15.75 G HBM), but the single fattest
+    cell (x_0_3 — its concat alone is 22.3 ms/call, the largest op on the
+    post-flag timeline) may fit alone."""
+    import os
+
+    v = os.environ.get("DEADTREES_PARTWISE_CELLS", "")
+    return {t.strip() for t in v.split(",") if t.strip()}
+
+
 def _lowres_expand_enabled() -> bool:
     import os
 
@@ -227,7 +240,11 @@ class EffUnetPlusPlusDecoderBlock(nn.Module):
             if self.name and self.name.startswith("x_")
             else None
         )
-        if _partwise_grid_enabled() or (row is not None and row in _partwise_rows()):
+        if (
+            _partwise_grid_enabled()
+            or (row is not None and row in _partwise_rows())
+            or (self.name in _partwise_cells())
+        ):
             up = (
                 Lowres2x(x) if _lowres_expand_enabled()
                 else upsample2x_nearest(x)

@@ -186,3 +186,25 @@ def test_partwise_grid_matches_default(monkeypatch, rng):
     got2 = model.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+    # per-cell gating (DEADTREES_PARTWISE_CELLS): only the named cells go
+    # concat-free; result must still match exactly
+    monkeypatch.delenv("DEADTREES_PARTWISE_ROWS", raising=False)
+    monkeypatch.setenv("DEADTREES_PARTWISE_CELLS", "x_0_3")
+    got3 = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # combined expand+skip conv (DEADTREES_COMBINED_EXPAND_SKIP): the IR1
+    # Conv_0/Conv_3 pair executes as one output-concat conv — same params,
+    # same logits; must also compose with partwise cells
+    monkeypatch.delenv("DEADTREES_PARTWISE_CELLS", raising=False)
+    monkeypatch.setenv("DEADTREES_COMBINED_EXPAND_SKIP", "1")
+    got4 = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    monkeypatch.setenv("DEADTREES_PARTWISE_CELLS", "x_0_3")
+    got5 = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got5), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
