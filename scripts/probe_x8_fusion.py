@@ -14,6 +14,23 @@ halves the HBM read bytes of every dw/project conv in the mid-chain —
 the "removing bytes" lever the post-flag roofline says is the only one
 left (PERF.md r3 roofline floor).
 
+MEASURED (r3, bs=128 256^2 C=256, vmem=65536 base in both runs):
+
+  xla_tpu_fuse_non_trivial_x8_producers_into_conv_like=true — accepted
+  but NO effect; the dequant prologue still materializes:
+      1x1 bf16<-bf16      15.84 ms   |  dw3 bf16<-bf16      16.77 ms
+      1x1 bf16<-int8+deq  25.52 ms   |  dw3 bf16<-int8+deq  26.37 ms
+  (same +57-61% as the unflagged probe_int8_conv.py baseline)
+
+  xla_tpu_allow_conv_input_fusion_with_downcast_convert=true — REJECTED:
+  every case fails remote compile (tpu_compile_helper exit 1), i.e. not
+  a valid libtpu compile option on this toolchain.
+
+CONCLUSION (route closed): no flag unlocks int8-dequant prologue fusion
+on this libtpu; the int8-activation speed route stays closed (PERF.md r3
+"int8 ACTIVATION storage"), and the w8a8 path remains an accuracy-tested
+footprint/wire-format option only.
+
 Cases (per flag set, one set per process — retained-buffer OOM rule):
   a) 1x1 conv bf16 from bf16 input          (byte reference)
   b) 1x1 conv bf16 from int8 input + dequant (the +70% case)
