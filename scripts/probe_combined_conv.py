@@ -18,6 +18,20 @@ bs=128 inference program (concat 256ch at 256^2 spatial):
 
 both reduced to a scalar so the tunnel's output marshalling doesn't
 pollute the numbers (PERF.md r2 measurement correction).
+
+MEASURED (r3, v5e, vmem=65536 defaults):
+
+    separate: 15.05 ms/call
+    combined: 21.58 ms/call   (0.70x — LOSS)
+
+CONCLUSION (route closed): XLA:TPU does NOT multi-output-fuse the two
+sliced epilogues — the combined conv materializes the full
+(mid+features)-wide output to HBM and re-reads it for each slice, so
+the one saved input pass is repaid ~1.9x in extra output traffic. Same
+failure mode as the int8 requantize epilogues (probe_int8_conv.py):
+conv epilogue fusion on this toolchain is single-consumer only.
+DEADTREES_COMBINED_EXPAND_SKIP stays opt-in/off; the separate convs are
+already at 80-95% of stream rate (PERF.md r3 roofline table).
 """
 
 from __future__ import annotations
