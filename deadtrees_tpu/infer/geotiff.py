@@ -69,6 +69,22 @@ class GeoImage:
         return None
 
 
+def geotiff_size(path: Union[str, Path]) -> Tuple[int, int]:
+    """(H, W) from the TIFF header without decoding pixel data — used by
+    the inference CLI to auto-size its compiled tile shape to the scenes
+    on disk (reference orthophotos are 8192², tiler.py:36; test fixtures
+    are smaller)."""
+    path = str(path)
+    if HAVE_RASTERIO:
+        with rasterio.open(path) as src:
+            return (src.height, src.width)
+    from PIL import Image
+
+    with Image.open(path) as img:
+        w, h = img.size
+    return (h, w)
+
+
 def read_geotiff(path: Union[str, Path]) -> GeoImage:
     """Read a scene as (H, W, C) uint8/uint16 + georeferencing blob."""
     path = str(path)

@@ -114,6 +114,12 @@ class Tiler:
         self._geo = geo if geo is not None else GeoImage(data)
 
         h, w, c = data.shape
+        if h > self._tile_shape[0] or w > self._tile_shape[1]:
+            raise ValueError(
+                f"scene {h}x{w} exceeds tile_shape {self._tile_shape}; "
+                "construct the Tiler with a tile_shape >= the scene "
+                "(the inference CLI auto-sizes from the scene headers)"
+            )
         if (h, w) != self._tile_shape:
             self._indata = np.zeros((*self._tile_shape, c), dtype=data.dtype)
             self._indata[:h, :w] = data

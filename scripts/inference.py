@@ -34,7 +34,14 @@ def main() -> None:
     parser.add_argument("--outpath", type=Path, default=Path("."))
     parser.add_argument("--all", action="store_true", help="process ortho*.tif in dir")
     parser.add_argument("--bs", type=int, default=128)
-    parser.add_argument("--tile-shape", type=int, default=2048)
+    parser.add_argument(
+        "--tile-shape", type=int, default=None,
+        help="padded scene size per compiled program (default: auto — the "
+        "largest scene dimension on disk rounded up to a subtile multiple, "
+        "read from the TIFF headers; the reference's fixed 8192 Tiler "
+        "default would compute 16x waste on the common 2048² test scenes "
+        "while a fixed 2048 would reject real 8192² orthophotos)",
+    )
     parser.add_argument(
         "--subtile", type=int, default=512,
         help="model input size per subtile. 512 is the reference "
@@ -70,6 +77,14 @@ def main() -> None:
         sorted(args.infile.glob("ortho*.tif")) if args.all else [args.infile]
     )
     args.outpath.mkdir(parents=True, exist_ok=True)
+
+    if args.tile_shape is None:
+        from deadtrees_tpu.infer.geotiff import geotiff_size
+
+        longest = max((max(geotiff_size(p)) for p in scenes), default=2048)
+        args.tile_shape = -(-longest // args.subtile) * args.subtile
+        print(f"tile shape auto-sized to {args.tile_shape} "
+              f"(longest scene dim {longest}, subtile {args.subtile})")
 
     def write_out(tiler, scene_path):
         outfile = args.outpath / scene_path.name

@@ -163,9 +163,11 @@ def main() -> int:
     tiles512 = args.scenes * (args.scene_size / 512) ** 2
     proof["inference_cli"] = {
         "wall_seconds": round(dt, 1),
-        # wall includes one cold/warm compile + GeoTIFF IO; the compute
-        # number is bench_scene's (PERF.md r3) — this is the USER number
         "tiles512_per_sec_wall": round(tiles512 / dt, 1),
+        "note": "wall includes process start, 373 MB checkpoint load, "
+                "compile-cache load and GeoTIFF IO; the steady-state "
+                "compute number for this exact program is bench_scene's "
+                "(PERF.md r3: ~300 tiles512/s)",
     }
 
     # ---- stage 4: score vs ground truth (CPU) ----

@@ -146,3 +146,22 @@ def test_library_scene_defaults_are_512_subtile():
     assert t._tile_shape == (2048, 2048)  # padded-canvas default (memory)
     for fn in (make_scene_predictor, predict_scene, predict_scenes):
         assert inspect.signature(fn).parameters["subtile"].default == 512, fn
+
+
+def test_tiler_rejects_oversize_scene():
+    """A scene larger than tile_shape must fail loudly, not with a numpy
+    broadcast error (the CLI auto-sizes its tile shape from the scene
+    headers to avoid this)."""
+    import pytest
+
+    tiler = Tiler(tile_shape=(256, 256), subtile_shape=(64, 64))
+    with pytest.raises(ValueError, match="exceeds tile_shape"):
+        tiler.load_array(np.zeros((512, 512, 4), np.uint8))
+
+
+def test_geotiff_size_header_only(tmp_path):
+    from deadtrees_tpu.infer.geotiff import geotiff_size, write_geotiff
+
+    p = tmp_path / "s.tif"
+    write_geotiff(p, np.zeros((300, 520, 4), np.uint8))
+    assert geotiff_size(p) == (300, 520)
