@@ -55,6 +55,8 @@ def main() -> None:
             raise NotImplementedError(f"no datapath for predicted.{year}")
         print(f"Processing year: {year}...")
         tiles = sorted(inpath.glob("*.tif"))
+        if not tiles:
+            raise SystemExit(f"no predicted tiles (*.tif) in {inpath}")
         with Pool(WORKERS) as pool:
             results = pool.map(partial(process_tile, year=year), tiles, chunksize=1)
         df = pd.DataFrame(results)

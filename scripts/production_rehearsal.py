@@ -229,7 +229,7 @@ def main() -> int:
             float(np.mean([float(r["total"]) for r in rows])), 2),
     }
     proof["workdir"] = str(work)
-    Path(args.out).parent.mkdir(exist_ok=True)
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(proof, indent=1))
     print("\n" + json.dumps(proof, indent=1), flush=True)
     return 0

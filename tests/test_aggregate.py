@@ -32,7 +32,6 @@ def tile_dirs(tmp_path):
     pred.mkdir()
 
     size = 64
-    rng = np.random.default_rng(0)
     specs = [
         # (name, forest_frac, conifer_frac, broadleaf_frac)
         ("ortho_a.tif", 1.0, 0.25, 0.0),
@@ -56,7 +55,6 @@ def tile_dirs(tmp_path):
         }
         write_geotiff(forest / name, lu.reshape(size, size), geo)
         write_geotiff(pred / name, mask.reshape(size, size), geo)
-    del rng
     return tmp_path, forest, specs
 
 

@@ -108,8 +108,14 @@ def test_sharded_scene_inference_gathers_only_the_output(_setup):
     )
     # model compute is collective-free; the only cross-device ops are the
     # output-stitch all-gathers, and those carry uint8 class-map bytes
-    assert kinds <= {"all-gather"}, kinds
-    for shape in re.findall(r"= (\w+)\[[\d,]*\][^\n]*all-gather\(", txt):
-        assert shape in ("u8", "s8", "pred"), (
-            f"all-gather of {shape} — expected only uint8 output stitching"
+    assert kinds == {"all-gather"}, kinds
+    # dtype of every all-gather site, covering the sync and async
+    # (all-gather-start, possibly tuple-shaped) spellings
+    sites = re.findall(
+        r"= \(?([a-z]+[0-9]*)\[[^\]]*\][^\n]*?all-gather(?:-start)?\(", txt
+    )
+    assert sites, "expected at least one output-stitch all-gather"
+    for dtype in sites:
+        assert dtype in ("u8", "s8", "pred"), (
+            f"all-gather of {dtype} — expected only uint8 output stitching"
         )

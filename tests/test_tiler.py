@@ -152,8 +152,6 @@ def test_tiler_rejects_oversize_scene():
     """A scene larger than tile_shape must fail loudly, not with a numpy
     broadcast error (the CLI auto-sizes its tile shape from the scene
     headers to avoid this)."""
-    import pytest
-
     tiler = Tiler(tile_shape=(256, 256), subtile_shape=(64, 64))
     with pytest.raises(ValueError, match="exceeds tile_shape"):
         tiler.load_array(np.zeros((512, 512, 4), np.uint8))
