@@ -58,11 +58,14 @@ class SegmentationService:
         checkpoint: Optional[Union[str, Path]] = None,
         exported: Optional[Union[str, Path]] = None,
         model_name: str = "bestmodel",
+        batch_wait_ms: Optional[float] = None,
+        max_batch: int = 32,
     ):
         from deadtrees_tpu.infer import ExportedInference, JaxInference
 
         self.model_name = model_name
         self.engines: Dict[str, object] = {}
+        self.batchers: Dict[str, object] = {}
         if checkpoint:
             # API requests are small batches: batch-size-aware decoder
             # routing (≤32 images → fused CHW kernels, 1.42× at bs=4/512²,
@@ -78,6 +81,19 @@ class SegmentationService:
             self.engines["exported"] = ExportedInference(exported)
         if not self.engines:
             raise ValueError("Need a checkpoint and/or exported artifact")
+        if batch_wait_ms is not None:
+            # dynamic batching: concurrent requests of the same image size
+            # coalesce into one device dispatch (power-of-two buckets) —
+            # the TPU-shaped serving mode (PERF.md r3: bs=4 is 1.42×/img,
+            # bs=32 ~4× over bs=1). One batcher per engine.
+            from deadtrees_tpu.serve.batching import MicroBatcher
+
+            for name, engine in self.engines.items():
+                self.batchers[name] = MicroBatcher(
+                    engine.run,
+                    max_batch=max_batch,
+                    max_wait_ms=batch_wait_ms,
+                )
 
     def segment(
         self,
@@ -103,7 +119,11 @@ class SegmentationService:
         arr = np.asarray(image)[None]  # (1, H, W, 4)
 
         with record_execution_time() as elapsed:
-            out = engine.run(arr)[0]
+            batcher = self.batchers.get(model_type)
+            if batcher is not None:
+                out = batcher.submit(arr[0])
+            else:
+                out = engine.run(arr)[0]
 
         fraction = float((out > 0).sum() / out.size)
         stats = PredictionStats(
@@ -238,10 +258,24 @@ def main() -> None:
     ap.add_argument("--exported", default=None)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument(
+        "--batch-wait-ms", type=float, default=2.0,
+        help="dynamic-batching window: concurrent same-size requests "
+        "coalesce into one device dispatch (negative disables batching; "
+        "0 still coalesces requests that queue up during a dispatch)",
+    )
+    ap.add_argument(
+        "--max-batch", type=int, default=32,
+        help="dynamic-batching cap (32 = the measured fused-CHW crossover)",
+    )
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
-    service = SegmentationService(args.checkpoint, args.exported)
+    wait = None if args.batch_wait_ms < 0 else args.batch_wait_ms
+    service = SegmentationService(
+        args.checkpoint, args.exported,
+        batch_wait_ms=wait, max_batch=args.max_batch,
+    )
     try:
         import uvicorn
 
