@@ -1,4 +1,5 @@
 from deadtrees_tpu.core.checkpoint import (
+    AsyncCheckpointWriter,
     BestCheckpointKeeper,
     load_checkpoint,
     load_model,
@@ -6,6 +7,7 @@ from deadtrees_tpu.core.checkpoint import (
 )
 
 __all__ = [
+    "AsyncCheckpointWriter",
     "BestCheckpointKeeper",
     "load_checkpoint",
     "load_model",

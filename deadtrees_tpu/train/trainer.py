@@ -36,7 +36,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deadtrees_tpu.core.checkpoint import BestCheckpointKeeper, save_checkpoint
+from deadtrees_tpu.core.checkpoint import (
+    AsyncCheckpointWriter,
+    BestCheckpointKeeper,
+    save_checkpoint,
+)
 from deadtrees_tpu.data.pipeline import DataConfig, DeadtreesDataModule
 from deadtrees_tpu.models import create_model, init_model
 from deadtrees_tpu.parallel import create_mesh, replicate, shard_batch
@@ -275,6 +279,15 @@ class Trainer:
             self.work_dir / mck.get("dirpath", "checkpoints/"),
             monitor=mck.get("monitor", "val/dice"),
             mode=mck.get("mode", "max"),
+        )
+        # async checkpointing (default on): the host snapshot happens
+        # synchronously (donation safety), the ~1-2 s msgpack encode +
+        # file write of the 379 MB flagship state runs on a worker thread.
+        # fit()/test() wait() before reading the files back.
+        self._ckpt_writer = (
+            AsyncCheckpointWriter()
+            if mck.get("async_write", True) is not False
+            else None
         )
         es = cb.get("early_stopping", {})
         self.es_patience = int(es.get("patience", 200))
@@ -549,6 +562,10 @@ class Trainer:
         finally:
             if profiler_dir:
                 jax.profiler.stop_trace()
+            if self._ckpt_writer is not None:
+                # all queued checkpoint writes on disk (and their errors
+                # surfaced) before anything reads the files back
+                self._ckpt_writer.wait()
             self.teardown()
 
         result = dict(last_val)
@@ -627,8 +644,7 @@ class Trainer:
         def save(path):
             if jax.process_index() != 0:
                 return
-            save_checkpoint(
-                path,
+            kwargs = dict(
                 params=self.state.params,
                 batch_stats=self.state.batch_stats,
                 hparams=self.hparams,
@@ -636,6 +652,10 @@ class Trainer:
                 step=int(self.state.step),
                 epoch=epoch,
             )
+            if self._ckpt_writer is not None:
+                self._ckpt_writer.save(path, **kwargs)
+            else:
+                save_checkpoint(path, **kwargs)
 
         return save
 
@@ -645,6 +665,8 @@ class Trainer:
         if ckpt_path:
             from deadtrees_tpu.core.checkpoint import load_checkpoint
 
+            if self._ckpt_writer is not None:
+                self._ckpt_writer.wait()  # the file may still be in flight
             ckpt = load_checkpoint(ckpt_path)
             self.state = self.state.replace(
                 params=replicate(ckpt["params"], self.mesh),

@@ -74,6 +74,80 @@ def test_best_keeper_retention(tmp_path):
     assert existing == {"last.ckpt", "epoch_002.ckpt"}  # old best deleted
 
 
+def test_async_writer_matches_sync(ckpt_path, tmp_path):
+    from deadtrees_tpu.core import AsyncCheckpointWriter
+
+    ckpt = load_checkpoint(ckpt_path)
+    writer = AsyncCheckpointWriter()
+    apath = tmp_path / "async.ckpt"
+    writer.save(
+        apath, params=ckpt["params"], batch_stats=ckpt["batch_stats"],
+        hparams=ckpt["hparams"], step=123, epoch=7,
+    )
+    writer.close()
+    got = load_checkpoint(apath)
+    ref = load_checkpoint(ckpt_path)
+    assert got["hparams"] == ref["hparams"]
+    assert int(got["step"]) == 123 and int(got["epoch"]) == 7
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, got["params"], ref["params"]
+    )
+
+
+def test_async_writer_same_path_applies_in_order(ckpt_path, tmp_path):
+    from deadtrees_tpu.core import AsyncCheckpointWriter
+
+    ckpt = load_checkpoint(ckpt_path)
+    writer = AsyncCheckpointWriter()
+    path = tmp_path / "last.ckpt"
+    for step in (1, 2, 3):
+        writer.save(
+            path, params=ckpt["params"], batch_stats=ckpt["batch_stats"],
+            hparams=ckpt["hparams"], step=step, epoch=step,
+        )
+    writer.close()
+    assert int(load_checkpoint(path)["step"]) == 3
+
+
+def test_async_writer_save_many_single_snapshot(ckpt_path, tmp_path):
+    from deadtrees_tpu.core import AsyncCheckpointWriter
+
+    ckpt = load_checkpoint(ckpt_path)
+    writer = AsyncCheckpointWriter()
+    paths = [tmp_path / "last.ckpt", tmp_path / "epoch_001.ckpt"]
+    writer.save_many(
+        paths, params=ckpt["params"], batch_stats=ckpt["batch_stats"],
+        hparams=ckpt["hparams"], step=9, epoch=1,
+    )
+    writer.wait()
+    a, b = (load_checkpoint(p) for p in paths)
+    assert int(a["step"]) == int(b["step"]) == 9
+    writer.close()
+
+
+def test_async_writer_surfaces_write_errors(ckpt_path, tmp_path):
+    from deadtrees_tpu.core import AsyncCheckpointWriter
+
+    ckpt = load_checkpoint(ckpt_path)
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_bytes(b"file, not a directory")
+    writer = AsyncCheckpointWriter()
+    writer.save(
+        blocker / "x.ckpt", params=ckpt["params"],
+        batch_stats=ckpt["batch_stats"], hparams=ckpt["hparams"],
+    )
+    with pytest.raises(OSError):
+        writer.wait()
+    # the worker survives a failed write
+    ok = tmp_path / "ok.ckpt"
+    writer.save(
+        ok, params=ckpt["params"], batch_stats=ckpt["batch_stats"],
+        hparams=ckpt["hparams"],
+    )
+    writer.close()
+    assert ok.exists()
+
+
 def test_jax_inference_engine(ckpt_path):
     from deadtrees_tpu.infer import JaxInference
 
