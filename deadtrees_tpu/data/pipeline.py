@@ -16,6 +16,12 @@ per-sample CPU augmentation + scipy EDT in DataLoader workers — becomes:
   upload, with main batch size reduced by the extra amounts
   (deadtreedata.py:348-370 + segmodel.py create_combined_batch:43-54).
 
+Multi-host: train shards are assigned disjointly per process; eval streams
+the same RAW batch sequence on every process (identical pacing/termination
+— deadlock-proof with zero coordination) while each process decodes only
+its slice of every global batch (tar.py materialize_samples), so eval
+decode work is O(1) in process_count.
+
 Reference behaviors preserved: shard splitting incl. the single-directory
 vs train/val/test layout switch (deadtreedata.py:207-212, 247-255), epoch
 length ``len(shards) * shard_size // batch_size`` (deadtreedata.py:273),
@@ -29,7 +35,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence, Union
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +44,12 @@ import numpy as np
 from deadtrees_tpu.data.augment import augment_batch
 from deadtrees_tpu.data.config import DATASET_CONFIG
 from deadtrees_tpu.data.shards import discover_shards, split_shards
-from deadtrees_tpu.data.tar import ShardSampleStream, count_shard_samples, make_sample_stream
+from deadtrees_tpu.data.tar import (
+    ShardSampleStream,
+    count_shard_samples,
+    make_sample_stream,
+    materialize_samples,
+)
 from deadtrees_tpu.losses.functional import batch_one_hot2dist, class2one_hot
 
 
@@ -83,15 +94,44 @@ def _stack_samples(
 
 
 class _BatchProducer:
-    """Background thread turning a sample stream into a queue of host batches."""
+    """Background thread turning a sample stream into a queue of host batches.
 
-    def __init__(self, stream: ShardSampleStream, batch_size: int, cfg: DataConfig):
+    ``slice_range=(a, b)`` is the multi-host eval mode: the stream yields
+    RAW (undecoded) samples, the producer still consumes ``batch_size`` of
+    them per step — identical pacing and termination on every host — but
+    only positions [a, b) of each batch are decoded and emitted. a == b
+    yields empty-marker ``{}`` batches (this host's slice lives in another
+    stream part). Decode work per host drops to slice/batch_size of the
+    r2 design, which decoded the full batch everywhere (O(process_count)
+    duplication).
+    """
+
+    def __init__(
+        self,
+        stream: ShardSampleStream,
+        batch_size: int,
+        cfg: DataConfig,
+        slice_range: Optional[Tuple[int, int]] = None,
+    ):
         self.stream = stream
         self.batch_size = batch_size
         self.cfg = cfg
+        self.slice_range = slice_range
         self.q: "queue.Queue" = queue.Queue(maxsize=cfg.prefetch + 1)
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+
+    def _make_batch(self, buf: List[Dict]) -> Dict:
+        if self.slice_range is not None:
+            a, b = self.slice_range
+            buf = materialize_samples(
+                buf[a:b], n_threads=self.cfg.num_workers
+            )
+            if not buf:
+                return {}
+        return _stack_samples(
+            buf, in_channels=self.cfg.in_channels, classes=self.cfg.classes
+        )
 
     def _run(self):
         buf: List[Dict] = []
@@ -101,13 +141,7 @@ class _BatchProducer:
                     return
                 buf.append(sample)
                 if len(buf) == self.batch_size:
-                    self.q.put(
-                        _stack_samples(
-                            buf,
-                            in_channels=self.cfg.in_channels,
-                            classes=self.cfg.classes,
-                        )
-                    )
+                    self.q.put(self._make_batch(buf))
                     buf = []
             # drop partial batches (.batched(bs, partial=False), deadtreedata.py:351)
         finally:
@@ -288,34 +322,64 @@ class DeadtreesDataModule:
                 )
             return n // batch_divisor
 
+        # multi-host eval: every process streams the same RAW batch sequence
+        # (identical iteration order + termination = deadlock-proof, zero
+        # coordination) but DECODES only its slice of each global batch —
+        # the part producers emit local slices directly, so host decode
+        # work is O(1) in process_count instead of O(process_count).
+        # sizes of the concatenated batch parts: [main, *extras]. When the
+        # caller passes no extra shards (e.g. test_batches), the main part
+        # is the whole batch even if batch_size_extra is configured.
+        part_sizes = [
+            div(self.main_batch_size if extra_shards else cfg.batch_size)
+        ] + [
+            div(bs)
+            for bs, _ in zip(cfg.batch_size_extra or [], extra_shards)
+        ]
+        slice_ranges: List[Optional[Tuple[int, int]]] = [None] * len(part_sizes)
+        if local_slice:
+            pi, n = self.process_index, self.local_batch_size
+            lo, hi = pi * n, (pi + 1) * n
+            off = 0
+            for k, size in enumerate(part_sizes):
+                a = min(max(lo - off, 0), size)
+                b = min(max(hi - off, 0), size)
+                slice_ranges[k] = (a, max(a, b))
+                off += size
+
         main = _BatchProducer(
             make_sample_stream(
                 main_shards, shuffle=shuffle, seed=seed, loop=loop,
                 prefer_native=cfg.use_native, n_threads=cfg.num_workers,
+                raw=local_slice,
             ),
-            div(self.main_batch_size if extra_shards else cfg.batch_size),
+            part_sizes[0],
             cfg,
+            slice_range=slice_ranges[0],
         )
         extras = [
             _BatchProducer(
                 make_sample_stream(
                     shards, shuffle=shuffle, seed=seed + 1 + i, loop=True,
                     prefer_native=cfg.use_native, n_threads=cfg.num_workers,
+                    raw=local_slice,
                 ),
-                div(bs),
+                part_sizes[1 + i],
                 cfg,
+                slice_range=slice_ranges[1 + i],
             )
-            for i, (shards, bs) in enumerate(
-                zip(extra_shards, cfg.batch_size_extra or [])
-            )
+            for i, shards in enumerate(extra_shards)
         ]
         extra_iters = [iter(e) for e in extras]
 
         try:
             for host_batch in main:
-                # concat main + extra host batches (create_combined_batch)
+                # concat main + extra host batches (create_combined_batch).
+                # Under local_slice each part is already this host's slice;
+                # {} marks a part whose samples all belong to other hosts.
                 if extra_iters:
                     parts = [host_batch] + [next(it) for it in extra_iters]
+                    parts = [p for p in parts if p]
                     host_batch = {
                         "image": np.concatenate([p["image"] for p in parts]),
                         "mask": np.concatenate([p["mask"] for p in parts]),
@@ -325,20 +389,6 @@ class DeadtreesDataModule:
                         host_batch["lu"] = np.concatenate(
                             [p.get("lu", np.zeros_like(p["mask"])) for p in parts]
                         )
-                if local_slice:
-                    # eval on >1 hosts: every process streams the same
-                    # batches; each keeps its process slice so the global
-                    # array assembles without duplicated device work.
-                    # Host DECODE work is duplicated (O(process_count)) —
-                    # deliberately: identical iteration order on all hosts
-                    # is deadlock-proof with zero coordination. Fine for
-                    # the 2-8 host pods this targets; beyond that, switch
-                    # val to per-process disjoint shards + a padded tail.
-                    pi, n = self.process_index, self.local_batch_size
-                    host_batch = {
-                        k: (v[pi * n : (pi + 1) * n])
-                        for k, v in host_batch.items()
-                    }
                 rng, sub = jax.random.split(rng)
                 yield self._finish_batch(sub, host_batch, train=train)
         finally:

@@ -114,6 +114,13 @@ class ShardSampleStream:
 
     ``shuffle`` is the webdataset-style buffered shuffle size (0 = off);
     shard order reshuffles each epoch when shuffling is on.
+
+    ``raw=True`` defers image decode: samples come out as
+    ``{"__raw__": {suffix: bytes}}`` markers that
+    :func:`materialize_samples` turns into decoded samples later. Used by
+    the multi-host eval path, where every process streams the full batch
+    sequence (identical iteration order = deadlock-proof) but only decodes
+    its own slice.
     """
 
     def __init__(
@@ -123,10 +130,12 @@ class ShardSampleStream:
         shuffle: int = 0,
         seed: int = 0,
         loop: bool = False,
+        raw: bool = False,
     ):
         self.shards = [str(s) for s in shards]
         self.shuffle = shuffle
         self.loop = loop
+        self.raw = raw
         self._rng = random.Random(seed)
 
     def __iter__(self) -> Iterator[Dict]:
@@ -137,7 +146,7 @@ class ShardSampleStream:
             buf: List[Dict] = []
             for shard in shards:
                 for raw in iter_tar_samples(shard):
-                    sample = decode_sample(raw)
+                    sample = {"__raw__": raw} if self.raw else decode_sample(raw)
                     if self.shuffle <= 1:
                         yield sample
                         continue
@@ -181,6 +190,21 @@ class NativeShardSampleStream(ShardSampleStream):
                 f.seek(first[0])
                 probe = native.tiff_decode(f.read(first[1]))
             h, w = probe.shape[:2]
+            if self.raw:
+                # defer decode: carry (shard, extents, dims); stats are a
+                # few bytes — read them now so materialization stays pure
+                # decode work
+                with open(shard, "rb") as f:
+                    for k in keys:
+                        out = {"__native__": (shard, samples[k], (h, w))}
+                        if "txt" in samples[k]:
+                            off, size = samples[k]["txt"]
+                            f.seek(off)
+                            out["stats"] = {
+                                "file": k, "frac": float(f.read(size))
+                            }
+                        yield out
+                return
             rgbn = native.decode_batch(
                 shard, [samples[k]["rgbn.tif"] for k in keys], (h, w, 4),
                 n_threads=self.n_threads,
@@ -210,7 +234,7 @@ class NativeShardSampleStream(ShardSampleStream):
                     yield out
         except Exception:  # pragma: no cover - corrupted/unsupported shard
             for raw in iter_tar_samples(shard):
-                yield decode_sample(raw)
+                yield {"__raw__": raw} if self.raw else decode_sample(raw)
 
     def __iter__(self) -> Iterator[Dict]:
         import random as _random
@@ -238,7 +262,7 @@ class NativeShardSampleStream(ShardSampleStream):
 
 def make_sample_stream(
     shards, *, shuffle: int = 0, seed: int = 0, loop: bool = False,
-    prefer_native: bool = True, n_threads: int = 4,
+    prefer_native: bool = True, n_threads: int = 4, raw: bool = False,
 ) -> ShardSampleStream:
     """Factory: native stream when the C++ library is built, else Python."""
     if prefer_native:
@@ -248,8 +272,62 @@ def make_sample_stream(
             if native.available():
                 return NativeShardSampleStream(
                     shards, shuffle=shuffle, seed=seed, loop=loop,
-                    n_threads=n_threads,
+                    n_threads=n_threads, raw=raw,
                 )
         except Exception:  # pragma: no cover
             pass
-    return ShardSampleStream(shards, shuffle=shuffle, seed=seed, loop=loop)
+    return ShardSampleStream(
+        shards, shuffle=shuffle, seed=seed, loop=loop, raw=raw
+    )
+
+
+def materialize_samples(
+    samples: List[Dict], *, n_threads: int = 4
+) -> List[Dict]:
+    """Decode a list of raw-marker samples (see ``ShardSampleStream(raw=)``).
+
+    ``__raw__`` markers go through :func:`decode_sample`; ``__native__``
+    markers are grouped by shard and batch-decoded through the C++ thread
+    pool (one ``decode_batch`` per member suffix per shard). Samples that
+    are already decoded pass through unchanged. Output order matches input.
+    """
+    out: List[Optional[Dict]] = [None] * len(samples)
+    by_shard: Dict[str, List[int]] = {}
+    for i, s in enumerate(samples):
+        if "__raw__" in s:
+            out[i] = decode_sample(s["__raw__"])
+        elif "__native__" in s:
+            by_shard.setdefault(s["__native__"][0], []).append(i)
+        else:
+            out[i] = s
+
+    for shard, idxs in by_shard.items():
+        from deadtrees_tpu.data import native
+
+        h, w = samples[idxs[0]]["__native__"][2]
+        entries = [samples[i]["__native__"][1] for i in idxs]
+        rgbn = native.decode_batch(
+            shard, [e["rgbn.tif"] for e in entries], (h, w, 4),
+            n_threads=n_threads,
+        )
+        masks = lus = None
+        if "mask.tif" in entries[0]:
+            masks = native.decode_batch(
+                shard, [e["mask.tif"] for e in entries], (h, w, 1),
+                n_threads=n_threads,
+            )
+        if "lu.tif" in entries[0]:
+            lus = native.decode_batch(
+                shard, [e["lu.tif"] for e in entries], (h, w, 1),
+                n_threads=n_threads,
+            )
+        for j, i in enumerate(idxs):
+            decoded: Dict = {"image": rgbn[j]}
+            if masks is not None:
+                decoded["mask"] = masks[j, ..., 0]
+            if lus is not None:
+                decoded["lu"] = lus[j, ..., 0]
+            if "stats" in samples[i]:
+                decoded["stats"] = samples[i]["stats"]
+            out[i] = decoded
+    return out  # type: ignore[return-value]

@@ -320,20 +320,102 @@ def test_multihost_eval_slices_cover_batch(tmp_path):
     for i in range(8):
         _write_shard(tmp_path / f"train-{i:06d}.tar", 8, seed=i)
 
-    def val_images(pi):
+    def val_batches(pi, pc):
         cfg = DataConfig(
             data_dir=str(tmp_path), batch_size=4, shuffle_buffer=0,
-            process_index=pi, process_count=2, distmap=False,
+            process_index=pi, process_count=pc, distmap=False,
         )
         dm = DeadtreesDataModule(cfg)
         dm.setup()
-        return [np.asarray(b["image"]) for b in dm.val_batches()]
+        return [
+            (np.asarray(b["image"]), list(b["files"]))
+            for b in dm.val_batches()
+        ]
 
-    v0, v1 = val_images(0), val_images(1)
-    assert len(v0) == len(v1) and len(v0) >= 1
-    assert v0[0].shape[0] == 2  # local slice of the global batch of 4
-    # slices are distinct parts of the same global batch
-    assert not np.allclose(v0[0], v1[0])
+    v0, v1 = val_batches(0, 2), val_batches(1, 2)
+    full = val_batches(0, 1)
+    assert len(v0) == len(v1) == len(full) and len(v0) >= 1
+    assert v0[0][0].shape[0] == 2  # local slice of the global batch of 4
+    # the two slices reassemble the exact single-process global batch
+    for (i0, f0), (i1, f1), (fi, ff) in zip(v0, v1, full):
+        np.testing.assert_array_equal(np.concatenate([i0, i1]), fi)
+        assert f0 + f1 == ff
+
+
+def test_multihost_eval_decodes_only_local_slice(tmp_path, monkeypatch):
+    """Each eval process only DECODES its slice (raw streaming keeps the
+    batch pacing identical): decode count per host is total/process_count,
+    not total (the r2 O(hosts) duplication)."""
+    import deadtrees_tpu.data.tar as tar_mod
+
+    for i in range(8):
+        _write_shard(tmp_path / f"train-{i:06d}.tar", 8, seed=i)
+
+    counts = {"n": 0}
+    orig = tar_mod.image_decoder
+
+    def counting_decoder(data):
+        counts["n"] += 1
+        return orig(data)
+
+    monkeypatch.setattr(tar_mod, "image_decoder", counting_decoder)
+
+    def run(pi, pc):
+        counts["n"] = 0
+        cfg = DataConfig(
+            data_dir=str(tmp_path), batch_size=4, shuffle_buffer=0,
+            process_index=pi, process_count=pc, distmap=False,
+            use_native=False,  # force the PIL path the counter wraps
+        )
+        dm = DeadtreesDataModule(cfg)
+        dm.setup()
+        n_batches = sum(1 for _ in dm.val_batches())
+        return n_batches, counts["n"]
+
+    nb_full, dec_full = run(0, 1)
+    nb0, dec0 = run(0, 2)
+    nb1, dec1 = run(1, 2)
+    assert nb0 == nb1 == nb_full
+    assert dec_full == nb_full * 4  # whole batch decoded on 1 process
+    assert dec0 == dec1 == nb_full * 2  # each host decodes only its half
+    assert dec0 + dec1 == dec_full
+
+
+def test_multihost_eval_with_extras_slices(tmp_path):
+    """Slices spanning main/extra stream parts: each host's local batch is
+    assembled from exactly the parts its slice intersects, and the hosts
+    together reassemble the single-process combined batch."""
+    for i in range(8):
+        _write_shard(tmp_path / f"train-{i:06d}.tar", 8, seed=i, prefix="main")
+    for i in range(8):
+        _write_shard(
+            tmp_path / f"rnd-{i:06d}.tar", 8, seed=100 + i, prefix="rnd"
+        )
+
+    def val_batches(pi, pc):
+        cfg = DataConfig(
+            data_dir=str(tmp_path), pattern="train-*.tar",
+            pattern_extra=["rnd-*.tar"], batch_size=4, batch_size_extra=[2],
+            shuffle_buffer=0, process_index=pi, process_count=pc,
+            distmap=False,
+        )
+        dm = DeadtreesDataModule(cfg)
+        dm.setup()
+        return [
+            (np.asarray(b["image"]), list(b["files"]))
+            for b in dm.val_batches()
+        ]
+
+    v0, v1 = val_batches(0, 2), val_batches(1, 2)
+    full = val_batches(0, 1)
+    assert len(v0) == len(v1) == len(full) >= 1
+    for (i0, f0), (i1, f1), (fi, ff) in zip(v0, v1, full):
+        # batch layout: [main0 main1 | extra0 extra1]; host0 gets the main
+        # part, host1 the extra part
+        assert all(f.startswith("main") for f in f0)
+        assert all(f.startswith("rnd") for f in f1)
+        np.testing.assert_array_equal(np.concatenate([i0, i1]), fi)
+        assert f0 + f1 == ff
 
 
 def test_multihost_batch_size_must_divide(tmp_path):
