@@ -123,6 +123,17 @@ def tiff_decode(data: bytes) -> np.ndarray:
     return out[..., 0] if c.value == 1 else out
 
 
+def effective_threads(n_threads: int) -> int:
+    """Clamp the decode pool to the host's core count. Oversubscription is
+    severely penalized, not just wasted: on a 1-core tunnel VM, 2 threads
+    measured 313 samples/s vs 1,138 at 1 thread (3.6× loss) — the
+    configured default (num_workers=2, sized for TPU-VM hosts with dozens
+    of cores) must never slow a small host down."""
+    import os
+
+    return max(1, min(int(n_threads), os.cpu_count() or 1))
+
+
 def decode_batch(
     tar_path: str,
     entries: List[Tuple[int, int]],  # (offset, size) of TIFF members
@@ -138,7 +149,8 @@ def decode_batch(
     sizes = (ctypes.c_int64 * n)(*[e[1] for e in entries])
     rc = _LIB.decode_batch(
         str(tar_path).encode(), offs, sizes, n,
-        out.ctypes.data_as(ctypes.c_void_p), h, w, c, n_threads,
+        out.ctypes.data_as(ctypes.c_void_p), h, w, c,
+        effective_threads(n_threads),
     )
     if rc != 0:
         raise ValueError(f"decode_batch failed rc={rc}")

@@ -168,3 +168,17 @@ def test_batch_decode_matches_python_path(tmp_path):
     batch = native.decode_batch(str(shard), entries, (32, 32, 4))
     for i, k in enumerate(keys):
         assert np.array_equal(batch[i], py_samples[i]["image"])
+
+
+def test_effective_threads_clamps_to_cores(monkeypatch):
+    """Decode-pool oversubscription is penalized hard on small hosts
+    (1-core VM: 313 samples/s at 2 threads vs 1,138 at 1) — the pool must
+    clamp to the machine."""
+    import os
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    assert native.effective_threads(8) == 4
+    assert native.effective_threads(2) == 2
+    assert native.effective_threads(0) == 1
+    monkeypatch.setattr(os, "cpu_count", lambda: None)  # cpu_count can fail
+    assert native.effective_threads(8) == 1
