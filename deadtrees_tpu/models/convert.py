@@ -62,13 +62,17 @@ def convert_bn(prefix: str, sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
 
 
 def convert_resnet_encoder(
-    sd: Dict[str, Any], stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    sd: Dict[str, Any],
+    stage_sizes: Sequence[int] = (2, 2, 2, 2),
+    block: str = "basic",
 ) -> Tuple[Dict, Dict]:
-    """torchvision/smp resnet18|34 state dict → (params, batch_stats) for
+    """torchvision/smp resnet state dict → (params, batch_stats) for
     :class:`ResNetEncoder`.
 
-    Accepts keys with or without an ``encoder.`` prefix (Lightning
-    checkpoints nest under ``model.encoder.``, torchvision is bare).
+    ``block="basic"`` covers resnet18/34 (conv1/conv2), ``"bottleneck"``
+    resnet50+ (conv1/conv2/conv3). Accepts keys with or without an
+    ``encoder.`` prefix (Lightning checkpoints nest under
+    ``model.encoder.``, torchvision is bare).
     """
     # normalize prefix
     keys = list(sd.keys())
@@ -83,23 +87,30 @@ def convert_resnet_encoder(
     params["Conv_0"] = {"kernel": t2j_conv(sd["conv1.weight"])}
     params["BatchNorm_0"], stats["BatchNorm_0"] = convert_bn("bn1", sd)
 
+    n_convs = 2 if block == "basic" else 3
+    flax_block = "BasicBlock" if block == "basic" else "Bottleneck"
     block_idx = 0
     for stage, n_blocks in enumerate(stage_sizes, start=1):
         for b in range(n_blocks):
             tp = f"layer{stage}.{b}"
-            name = f"BasicBlock_{block_idx}"
-            bp: Dict[str, Any] = {
-                "Conv_0": {"kernel": t2j_conv(sd[f"{tp}.conv1.weight"])},
-                "Conv_1": {"kernel": t2j_conv(sd[f"{tp}.conv2.weight"])},
-            }
+            name = f"{flax_block}_{block_idx}"
+            bp: Dict[str, Any] = {}
             bs: Dict[str, Any] = {}
-            bp["BatchNorm_0"], bs["BatchNorm_0"] = convert_bn(f"{tp}.bn1", sd)
-            bp["BatchNorm_1"], bs["BatchNorm_1"] = convert_bn(f"{tp}.bn2", sd)
-            if f"{tp}.downsample.0.weight" in sd:
-                bp["Conv_2"] = {"kernel": t2j_conv(sd[f"{tp}.downsample.0.weight"])}
-                bp["BatchNorm_2"], bs["BatchNorm_2"] = convert_bn(
-                    f"{tp}.downsample.1", sd
+            for c in range(n_convs):
+                bp[f"Conv_{c}"] = {
+                    "kernel": t2j_conv(sd[f"{tp}.conv{c + 1}.weight"])
+                }
+                bp[f"BatchNorm_{c}"], bs[f"BatchNorm_{c}"] = convert_bn(
+                    f"{tp}.bn{c + 1}", sd
                 )
+            if f"{tp}.downsample.0.weight" in sd:
+                bp[f"Conv_{n_convs}"] = {
+                    "kernel": t2j_conv(sd[f"{tp}.downsample.0.weight"])
+                }
+                (
+                    bp[f"BatchNorm_{n_convs}"],
+                    bs[f"BatchNorm_{n_convs}"],
+                ) = convert_bn(f"{tp}.downsample.1", sd)
             params[name] = bp
             stats[name] = bs
             block_idx += 1

@@ -79,10 +79,51 @@ class BasicBlock(nn.Module):
         return nn.relu(h + residual)
 
 
-class ResNetEncoder(nn.Module):
-    """ResNet-18/34 backbone emitting the 6-level smp feature pyramid."""
+class Bottleneck(nn.Module):
+    """torchvision-style ResNet bottleneck: 1×1 reduce → 3×3 → 1×1 expand
+    (×4), used by resnet50+ (torchvision resnet.py Bottleneck)."""
 
-    stage_sizes: Sequence[int]  # (2,2,2,2) for r18, (3,4,6,3) for r34
+    features: int  # inner width; block output is features * 4
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        norm = lambda: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+        conv = lambda f, k, s=1, pad="SAME": nn.Conv(  # noqa: E731
+            f, (k, k), strides=(s, s),
+            padding=[(pad, pad)] * 2 if isinstance(pad, int) else pad,
+            use_bias=False, kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+        out = self.features * 4
+        residual = x
+        # statement order fixes flax auto-names: Conv_k then BatchNorm_k
+        h = conv(self.features, 1)(x)
+        h = nn.relu(norm()(h))
+        # torch puts the stride on the 3x3 (torchvision >= 1.0 semantics)
+        h = conv(self.features, 3, self.strides, 1)(h)
+        h = nn.relu(norm()(h))
+        h = conv(out, 1)(h)
+        h = norm()(h)
+        if self.strides != 1 or x.shape[-1] != out:
+            residual = conv(out, 1, self.strides)(x)
+            residual = norm()(residual)
+        return nn.relu(h + residual)
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet backbone emitting the 6-level smp feature pyramid.
+
+    ``block="basic"`` (resnet18/34) or ``"bottleneck"`` (resnet50+, 4×
+    channel expansion per stage)."""
+
+    stage_sizes: Sequence[int]  # (2,2,2,2) for r18, (3,4,6,3) for r34/r50
+    block: str = "basic"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -104,11 +145,12 @@ class ResNetEncoder(nn.Module):
         h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
         h = nn.max_pool(h, (3, 3), strides=(2, 2))
 
+        block_cls = BasicBlock if self.block == "basic" else Bottleneck
         widths = (64, 128, 256, 512)
         for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
             for i in range(blocks):
                 strides = 2 if (stage > 0 and i == 0) else 1
-                h = BasicBlock(
+                h = block_cls(
                     width, strides=strides,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                 )(h, train)
@@ -290,6 +332,14 @@ ENCODERS = {
             stage_sizes=(3, 4, 6, 3), dtype=dtype, param_dtype=param_dtype, name=name
         ),
         "out_channels": (3, 64, 64, 128, 256, 512),
+    },
+    # the commented-out rung of the reference sweep grid (sweep.yaml:27)
+    "resnet50": {
+        "builder": lambda dtype, param_dtype, name=None: ResNetEncoder(
+            stage_sizes=(3, 4, 6, 3), block="bottleneck",
+            dtype=dtype, param_dtype=param_dtype, name=name,
+        ),
+        "out_channels": (3, 64, 256, 512, 1024, 2048),
     },
 }
 

@@ -180,3 +180,98 @@ def test_load_torch_state_dict_plain_tensors(tmp_path):
 
     sd = load_torch_state_dict(p)
     assert sd["w"].shape == (2, 3)
+
+
+def _torch_resnet50(in_ch=3):
+    """torchvision-named resnet50 feature extractor (bottleneck blocks);
+    the commented-out rung of the reference sweep grid (sweep.yaml:27)."""
+    import torch.nn as nn
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, width, stride=1):
+            super().__init__()
+            cout = width * 4
+            self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(width)
+            self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(width)
+            self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout),
+                )
+
+        def forward(self, x):
+            idn = x
+            out = torch.relu(self.bn1(self.conv1(x)))
+            out = torch.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                idn = self.downsample(x)
+            return torch.relu(out + idn)
+
+    def stage(cin, width, blocks, stride):
+        mods = [Bottleneck(cin, width, stride)]
+        mods += [Bottleneck(width * 4, width) for _ in range(blocks - 1)]
+        return nn.Sequential(*mods)
+
+    class ResNet50(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = stage(64, 64, 3, 1)
+            self.layer2 = stage(256, 128, 4, 2)
+            self.layer3 = stage(512, 256, 6, 2)
+            self.layer4 = stage(1024, 512, 3, 2)
+
+        def forward(self, x):
+            feats = [x]
+            x = torch.relu(self.bn1(self.conv1(x)))
+            feats.append(x)
+            x = self.maxpool(x)
+            for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+                x = layer(x)
+                feats.append(x)
+            return feats
+
+    return ResNet50()
+
+
+def test_resnet50_forward_parity():
+    torch.manual_seed(0)
+    tmodel = _torch_resnet50(in_ch=4).eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params, batch_stats = convert_resnet_encoder(
+        sd, stage_sizes=(3, 4, 6, 3), block="bottleneck"
+    )
+
+    enc, out_channels = get_encoder("resnet50", in_channels=4)
+    assert out_channels == (4, 64, 256, 512, 1024, 2048)
+    x = np.random.default_rng(1).normal(size=(1, 64, 64, 4)).astype(np.float32)
+
+    with torch.no_grad():
+        tfeats = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    jfeats = enc.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(x),
+        train=False,
+    )
+
+    assert len(tfeats) == len(jfeats) == 6
+    for i, (tf_, jf) in enumerate(zip(tfeats, jfeats)):
+        t_nhwc = tf_.numpy().transpose(0, 2, 3, 1)
+        assert np.allclose(
+            np.asarray(jf), t_nhwc, atol=1e-3
+        ), f"level {i} max err {np.abs(np.asarray(jf) - t_nhwc).max()}"

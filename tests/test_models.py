@@ -31,6 +31,7 @@ def test_architecture_aliases():
     [
         ("resnet18", (4, 64, 64, 128, 256, 512)),
         ("resnet34", (4, 64, 64, 128, 256, 512)),
+        ("resnet50", (4, 64, 256, 512, 1024, 2048)),
         ("timm-efficientnet-b5", (4, 48, 40, 64, 176, 512)),
         ("timm-efficientnet-b4", (4, 48, 32, 56, 160, 448)),
         ("timm-efficientnet-b0", (4, 32, 24, 40, 112, 320)),
