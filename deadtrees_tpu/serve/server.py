@@ -95,6 +95,12 @@ class SegmentationService:
                     max_wait_ms=batch_wait_ms,
                 )
 
+    def close(self) -> None:
+        """Stop the dynamic-batching workers (no-op when batching is off)."""
+        for batcher in self.batchers.values():
+            batcher.close()
+        self.batchers.clear()
+
     def segment(
         self,
         file_bytes: bytes,

@@ -45,3 +45,9 @@ def test_inference_example(tmp_path):
     assert "scene:" in out
     assert "ensemble(3):" in out
     assert "exported artifact:" in out
+
+
+def test_serving_example(tmp_path):
+    out = _run("03_serving.py", tmp_path)
+    assert "1 device dispatch(es)" in out
+    assert "packed:" in out and out.strip().endswith("OK")
