@@ -131,10 +131,20 @@ class AsyncCheckpointWriter:
             _write_payload(p, payload)
 
     def wait(self) -> None:
-        """Block until every queued write is on disk; re-raise failures."""
+        """Block until every queued write is on disk; re-raise the first
+        failure (later failures are logged, not lost silently)."""
         pending, self._pending = self._pending, []
+        first: Optional[BaseException] = None
         for fut in pending:
-            fut.result()
+            try:
+                fut.result()
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                if first is None:
+                    first = e
+                else:
+                    log.error(f"additional checkpoint write failed: {e!r}")
+        if first is not None:
+            raise first
 
     def close(self) -> None:
         self.wait()

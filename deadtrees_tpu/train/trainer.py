@@ -564,8 +564,17 @@ class Trainer:
                 jax.profiler.stop_trace()
             if self._ckpt_writer is not None:
                 # all queued checkpoint writes on disk (and their errors
-                # surfaced) before anything reads the files back
-                self._ckpt_writer.wait()
+                # surfaced) before anything reads the files back — but a
+                # write failure must not MASK an in-flight training error
+                import sys as _sys
+
+                if _sys.exc_info()[0] is None:
+                    self._ckpt_writer.wait()
+                else:
+                    try:
+                        self._ckpt_writer.wait()
+                    except Exception:
+                        log.exception("async checkpoint write failed")
             self.teardown()
 
         result = dict(last_val)
