@@ -144,6 +144,9 @@ class _BatchProducer:
                     self.q.put(self._make_batch(buf))
                     buf = []
             # drop partial batches (.batched(bs, partial=False), deadtreedata.py:351)
+        except BaseException as e:  # surface on the consumer thread: a
+            # silently truncated epoch would desync multi-host collectives
+            self.q.put(e)
         finally:
             self.q.put(None)
 
@@ -155,6 +158,8 @@ class _BatchProducer:
             item = self.q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def stop(self):

@@ -306,21 +306,42 @@ def materialize_samples(
 
         h, w = samples[idxs[0]]["__native__"][2]
         entries = [samples[i]["__native__"][1] for i in idxs]
-        rgbn = native.decode_batch(
-            shard, [e["rgbn.tif"] for e in entries], (h, w, 4),
-            n_threads=n_threads,
-        )
-        masks = lus = None
-        if "mask.tif" in entries[0]:
-            masks = native.decode_batch(
-                shard, [e["mask.tif"] for e in entries], (h, w, 1),
+        try:
+            rgbn = native.decode_batch(
+                shard, [e["rgbn.tif"] for e in entries], (h, w, 4),
                 n_threads=n_threads,
             )
-        if "lu.tif" in entries[0]:
-            lus = native.decode_batch(
-                shard, [e["lu.tif"] for e in entries], (h, w, 1),
-                n_threads=n_threads,
-            )
+            masks = lus = None
+            if "mask.tif" in entries[0]:
+                masks = native.decode_batch(
+                    shard, [e["mask.tif"] for e in entries], (h, w, 1),
+                    n_threads=n_threads,
+                )
+            if "lu.tif" in entries[0]:
+                lus = native.decode_batch(
+                    shard, [e["lu.tif"] for e in entries], (h, w, 1),
+                    n_threads=n_threads,
+                )
+        except Exception:
+            # unsupported/corrupted members: PIL per member, like the
+            # non-raw native stream's per-shard fallback — a bad shard must
+            # degrade, not truncate the epoch (which would desync hosts)
+            with open(shard, "rb") as f:
+
+                def read(extent):
+                    f.seek(extent[0])
+                    return f.read(extent[1])
+
+                for j, i in enumerate(idxs):
+                    decoded = {"image": image_decoder(read(entries[j]["rgbn.tif"]))}
+                    if "mask.tif" in entries[j]:
+                        decoded["mask"] = mask_decoder(read(entries[j]["mask.tif"]))
+                    if "lu.tif" in entries[j]:
+                        decoded["lu"] = mask_decoder(read(entries[j]["lu.tif"]))
+                    if "stats" in samples[i]:
+                        decoded["stats"] = samples[i]["stats"]
+                    out[i] = decoded
+            continue
         for j, i in enumerate(idxs):
             decoded: Dict = {"image": rgbn[j]}
             if masks is not None:

@@ -427,3 +427,53 @@ def test_multihost_batch_size_must_divide(tmp_path):
     dm.setup()
     with pytest.raises(ValueError, match="divisible"):
         _ = dm.local_batch_size
+
+
+def test_materialize_falls_back_to_pil_when_native_fails(tmp_path, monkeypatch):
+    """A bad shard must degrade to the PIL path, not truncate the epoch
+    (silent truncation desyncs multi-host collectives)."""
+    from deadtrees_tpu.data import native
+    from deadtrees_tpu.data.tar import materialize_samples
+
+    if not native.available():
+        pytest.skip("native library not built")
+
+    shard = tmp_path / "x-000000.tar"
+    _write_shard(shard, 4)
+    samples = native.index_shard_samples(str(shard))
+    keys = sorted(samples)
+    raw = [
+        {"__native__": (str(shard), samples[k], (32, 32)),
+         "stats": {"file": k, "frac": 0.0}}
+        for k in keys
+    ]
+
+    def boom(*a, **k):
+        raise ValueError("corrupted member")
+
+    monkeypatch.setattr(native, "decode_batch", boom)
+    decoded = materialize_samples(raw)
+    assert len(decoded) == 4
+    for k, d in zip(keys, decoded):
+        assert d["image"].shape == (32, 32, 4)
+        assert d["mask"].shape == (32, 32)
+        assert d["stats"]["file"] == k
+
+
+def test_producer_exception_surfaces_on_consumer(tmp_path):
+    """A failing stream raises in the consuming thread instead of silently
+    ending the epoch early."""
+    from deadtrees_tpu.data.pipeline import _BatchProducer, DataConfig
+
+    class FailingStream:
+        def __iter__(self):
+            yield {"image": np.zeros((8, 8, 4), np.uint8),
+                   "mask": np.zeros((8, 8), np.uint8)}
+            raise RuntimeError("stream died")
+
+    cfg = DataConfig(data_dir=str(tmp_path), batch_size=1)
+    producer = _BatchProducer(FailingStream(), 1, cfg)
+    it = iter(producer)
+    next(it)  # first batch fine
+    with pytest.raises(RuntimeError, match="stream died"):
+        next(it)
