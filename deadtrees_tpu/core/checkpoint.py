@@ -201,17 +201,27 @@ class BestCheckpointKeeper:
             return True
         return value > self.best_value if self.mode == "max" else value < self.best_value
 
-    def update(self, value: float, epoch: int, save_fn) -> Optional[Path]:
-        """``save_fn(path)`` writes the checkpoint; returns new best path."""
+    def update(
+        self, value: float, epoch: int, save_fn, save_many_fn=None
+    ) -> Optional[Path]:
+        """``save_fn(path)`` writes the checkpoint; returns new best path.
+
+        ``save_many_fn(paths)``, when given, writes one state snapshot to
+        several paths — improved epochs then save last.ckpt + the new best
+        from a single device fetch/encode instead of two."""
         last = self.directory / "last.ckpt"
-        save_fn(last)
         if self.is_improvement(value):
             new_best = self.directory / self.filename.format(epoch=epoch)
-            save_fn(new_best)
+            if save_many_fn is not None:
+                save_many_fn([last, new_best])
+            else:
+                save_fn(last)
+                save_fn(new_best)
             if self.best_path is not None and self.best_path.exists():
                 self.best_path.unlink()
             self.best_path = new_best
             self.best_value = value
             log.info(f"New best {self.monitor}={value:.4f} at {new_best}")
             return new_best
+        save_fn(last)
         return None

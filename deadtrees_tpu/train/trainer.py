@@ -550,7 +550,10 @@ class Trainer:
                 monitored = val.get(self.es_monitor, None)
                 if monitored is not None:
                     improved = self.keeper.is_improvement(monitored)
-                    self.keeper.update(monitored, epoch, self._ckpt_saver(epoch))
+                    self.keeper.update(
+                        monitored, epoch, self._ckpt_saver(epoch),
+                        save_many_fn=self._ckpt_saver_many(epoch),
+                    )
                     if improved:
                         since_improve = 0
                         best = monitored
@@ -650,10 +653,8 @@ class Trainer:
         return path
 
     def _ckpt_saver(self, epoch: int):
-        def save(path):
-            if jax.process_index() != 0:
-                return
-            kwargs = dict(
+        def kwargs():
+            return dict(
                 params=self.state.params,
                 batch_stats=self.state.batch_stats,
                 hparams=self.hparams,
@@ -661,12 +662,39 @@ class Trainer:
                 step=int(self.state.step),
                 epoch=epoch,
             )
+
+        def save(path):
+            if jax.process_index() != 0:
+                return
             if self._ckpt_writer is not None:
-                self._ckpt_writer.save(path, **kwargs)
+                self._ckpt_writer.save(path, **kwargs())
             else:
-                save_checkpoint(path, **kwargs)
+                save_checkpoint(path, **kwargs())
 
         return save
+
+    def _ckpt_saver_many(self, epoch: int):
+        """One snapshot → several paths (keeper last+best coalescing)."""
+        single = self._ckpt_saver(epoch)
+
+        def save_many(paths):
+            if jax.process_index() != 0:
+                return
+            if self._ckpt_writer is not None:
+                self._ckpt_writer.save_many(
+                    paths,
+                    params=self.state.params,
+                    batch_stats=self.state.batch_stats,
+                    hparams=self.hparams,
+                    opt_state=self.state.opt_state,
+                    step=int(self.state.step),
+                    epoch=epoch,
+                )
+            else:
+                for p in paths:
+                    single(p)
+
+        return save_many
 
     def test(self, ckpt_path: Optional[str] = None) -> Dict[str, float]:
         """Test loop, optionally from a checkpoint (train.py:119-121 /

@@ -323,3 +323,25 @@ def test_http_server_roundtrip(ckpt_path):
         assert exc.value.code == 400
     finally:
         server.shutdown()
+
+
+def test_best_keeper_save_many_coalesces(tmp_path):
+    keeper = BestCheckpointKeeper(tmp_path, monitor="val/dice", mode="max")
+    calls = {"single": [], "many": []}
+
+    def save_fn(path):
+        path.write_bytes(b"x")
+        calls["single"].append(path.name)
+
+    def save_many_fn(paths):
+        for p in paths:
+            p.write_bytes(b"x")
+        calls["many"].append([p.name for p in paths])
+
+    best = keeper.update(0.5, 0, save_fn, save_many_fn=save_many_fn)
+    assert best and best.name == "epoch_000.ckpt"
+    assert calls["many"] == [["last.ckpt", "epoch_000.ckpt"]]
+    assert calls["single"] == []  # improvement path uses ONE snapshot
+    keeper.update(0.4, 1, save_fn, save_many_fn=save_many_fn)
+    assert calls["single"] == ["last.ckpt"]  # no improvement -> last only
+    assert len(calls["many"]) == 1
