@@ -10,7 +10,10 @@ from deadtrees_tpu.data.tar import (
     ShardSampleStream,
     count_shard_samples,
     decode_sample,
+    expand_shard_urls,
+    is_remote_shard,
     iter_tar_samples,
+    open_shard,
 )
 
 __all__ = [
@@ -24,7 +27,10 @@ __all__ = [
     "count_shard_samples",
     "decode_sample",
     "discover_shards",
+    "expand_shard_urls",
+    "is_remote_shard",
     "iter_tar_samples",
+    "open_shard",
     "normalize",
     "sample_augment_params",
     "split_shards",

@@ -195,10 +195,25 @@ class DeadtreesDataModule:
                 raise ValueError(
                     "Len of <pattern_extra> and <batch_size_extra> don't match"
                 )
+            from deadtrees_tpu.data.tar import is_remote_shard
+
             for p in config.pattern_extra:
-                self.data_shards_extra.append(
-                    [str(x) for x in discover_shards(config.data_dir, p)]
-                )
+                if is_remote_shard(p):
+                    # extra datasets may be remote specs of their own
+                    self.data_shards_extra.append(
+                        [str(x) for x in discover_shards(p, "")]
+                    )
+                elif isinstance(config.data_dir, str) and is_remote_shard(
+                    config.data_dir
+                ):
+                    raise ValueError(
+                        "with a remote data_dir, pattern_extra entries must be "
+                        "full remote shard specs (pipe:/http), not glob patterns"
+                    )
+                else:
+                    self.data_shards_extra.append(
+                        [str(x) for x in discover_shards(config.data_dir, p)]
+                    )
 
         self._setup_done = False
 

@@ -70,5 +70,15 @@ def split_shards(
 
 def discover_shards(data_dir, pattern: str) -> List[Path]:
     """Sorted shard paths matching ``pattern`` (DataModule ctor,
-    deadtreedata.py:207-212)."""
+    deadtreedata.py:207-212).
+
+    ``data_dir`` may also be a REMOTE shard spec — ``pipe:CMD`` or an
+    http(s) URL, optionally with a WebDataset brace range
+    (``...-{000000..000123}.tar``) — in which case ``pattern`` is ignored
+    and the expanded url list is returned (the reference reaches the same
+    sources through WebDataset's url opener, deadtreedata.py:263)."""
+    from deadtrees_tpu.data.tar import expand_shard_urls, is_remote_shard
+
+    if isinstance(data_dir, str) and is_remote_shard(data_dir):
+        return expand_shard_urls(data_dir)
     return sorted(Path(data_dir).glob(pattern))

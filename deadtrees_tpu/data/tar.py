@@ -21,12 +21,82 @@ bytes; decoded uint8 arrays go straight into the device prefetch queue
 
 from __future__ import annotations
 
+import contextlib
 import io
 import random
+import re
 import tarfile
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+_BRACE_RANGE = re.compile(r"\{(\d+)\.\.(\d+)\}")
+
+
+def is_remote_shard(url: str) -> bool:
+    """True for shard sources that are streams, not local files: ``pipe:CMD``
+    (WebDataset convention — the command's stdout is the tar stream, e.g.
+    ``pipe:gsutil cat gs://bucket/shard.tar``) and http(s) URLs."""
+    return str(url).startswith(("pipe:", "http://", "https://"))
+
+
+def expand_shard_urls(spec: str) -> List[str]:
+    """WebDataset-style brace expansion: ``shard-{000000..000123}.tar`` →
+    124 urls with the range's zero padding. Specs without a ``{a..b}``
+    range pass through as a one-element list."""
+    m = _BRACE_RANGE.search(spec)
+    if m is None:
+        return [spec]
+    lo, hi = int(m.group(1)), int(m.group(2))
+    width = len(m.group(1))
+    head, tail = spec[: m.start()], spec[m.end() :]
+    return [f"{head}{i:0{width}d}{tail}" for i in range(lo, hi + 1)]
+
+
+@contextlib.contextmanager
+def open_shard(url: str):
+    """Open a shard source as a tarfile: local path (random access), or a
+    sequential stream for ``pipe:`` / http(s) sources (``mode="r|*"``).
+
+    The reference reads the same sources through WebDataset's url opener
+    (deadtreedata.py:263; its tests exercise ``pipe:`` URLs). A ``pipe:``
+    command that exits non-zero after a CLEANLY exhausted stream raises —
+    a silently truncated object-store read must not look like a short
+    shard. Abandoning the stream early (shuffle-buffer close, error paths)
+    kills the child instead of waiting on it.
+    """
+    url = str(url)
+    if url.startswith("pipe:"):
+        import subprocess
+
+        proc = subprocess.Popen(
+            url[len("pipe:"):], shell=True, stdout=subprocess.PIPE
+        )
+        exhausted = False
+        try:
+            with tarfile.open(fileobj=proc.stdout, mode="r|*") as tf:
+                yield tf
+            exhausted = True
+        finally:
+            if exhausted:
+                proc.stdout.close()
+                rc = proc.wait()
+                if rc != 0:
+                    raise RuntimeError(
+                        f"shard pipe command failed (exit {rc}): {url}"
+                    )
+            else:
+                proc.kill()
+                proc.wait()
+    elif url.startswith(("http://", "https://")):
+        import urllib.request
+
+        with urllib.request.urlopen(url) as resp:
+            with tarfile.open(fileobj=resp, mode="r|*") as tf:
+                yield tf
+    else:
+        with tarfile.open(url, "r") as tf:
+            yield tf
 
 
 def iter_tar_samples(path: str) -> Iterator[Dict[str, bytes]]:
@@ -34,11 +104,12 @@ def iter_tar_samples(path: str) -> Iterator[Dict[str, bytes]]:
 
     Adds ``__key__`` like webdataset. Files are grouped by prefix; group
     boundaries follow tar order (consecutive members with equal prefix),
-    which is how ShardWriter lays them out.
+    which is how ShardWriter lays them out. ``path`` may be a local file,
+    a ``pipe:CMD`` source, or an http(s) URL (see :func:`open_shard`).
     """
     current_key: Optional[str] = None
     sample: Dict[str, bytes] = {}
-    with tarfile.open(path, "r") as tf:
+    with open_shard(path) as tf:
         for member in tf:
             if not member.isfile():
                 continue
@@ -181,6 +252,12 @@ class NativeShardSampleStream(ShardSampleStream):
     def _iter_shard(self, shard: str) -> Iterator[Dict]:
         from deadtrees_tpu.data import native
 
+        if is_remote_shard(shard):
+            # pipe:/http sources are sequential streams — no local file for
+            # the C++ tar index to mmap; stream through the Python reader
+            for raw in iter_tar_samples(shard):
+                yield {"__raw__": raw} if self.raw else decode_sample(raw)
+            return
         try:
             samples = native.index_shard_samples(shard)
             keys = list(samples)

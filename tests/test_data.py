@@ -477,3 +477,107 @@ def test_producer_exception_surfaces_on_consumer(tmp_path):
     next(it)  # first batch fine
     with pytest.raises(RuntimeError, match="stream died"):
         next(it)
+
+
+# ---------------------------------------------------------------------------
+# remote shard sources: pipe:/http URLs + brace expansion (the reference
+# reaches the same sources through WebDataset's url opener — its tests
+# exercise pipe:cat URLs, tests/test_webdataloader.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pipe_shard_matches_local(tmp_path):
+    shard = tmp_path / "train-000000.tar"
+    keys = _write_shard(shard, 5)
+    local = list(iter_tar_samples(str(shard)))
+    piped = list(iter_tar_samples(f"pipe:cat {shard}"))
+    assert [s["__key__"].decode() for s in piped] == keys
+    assert len(piped) == len(local)
+    for a, b in zip(local, piped):
+        assert a.keys() == b.keys()
+        assert all(a[k] == b[k] for k in a)
+
+
+def test_pipe_truncated_stream_raises(tmp_path):
+    """A pipe command that exits non-zero AFTER a well-formed stream must
+    raise — a truncated object-store read is not a short shard."""
+    shard = tmp_path / "train-000000.tar"
+    _write_shard(shard, 3)
+    with pytest.raises(RuntimeError, match="exit"):
+        list(iter_tar_samples(f"pipe:cat {shard} && false"))
+
+
+def test_pipe_empty_stream_raises():
+    with pytest.raises(Exception):
+        list(iter_tar_samples("pipe:true"))
+
+
+def test_pipe_early_abort_reaps_child(tmp_path):
+    """Abandoning a pipe stream early kills the child instead of blocking
+    on an unread pipe."""
+    shard = tmp_path / "train-000000.tar"
+    _write_shard(shard, 5)
+    it = iter_tar_samples(f"pipe:cat {shard}")
+    first = next(it)
+    assert "__key__" in first
+    it.close()  # must not hang
+
+
+def test_http_shard_stream(tmp_path):
+    import functools
+    import http.server
+    import socketserver
+    import threading
+
+    shard = tmp_path / "train-000000.tar"
+    keys = _write_shard(shard, 4)
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    with socketserver.TCPServer(("127.0.0.1", 0), handler) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{port}/train-000000.tar"
+            got = list(iter_tar_samples(url))
+            assert [s["__key__"].decode() for s in got] == keys
+        finally:
+            httpd.shutdown()
+
+
+def test_expand_shard_urls():
+    from deadtrees_tpu.data import expand_shard_urls
+
+    assert expand_shard_urls("s-{000..002}.tar") == [
+        "s-000.tar", "s-001.tar", "s-002.tar"
+    ]
+    assert expand_shard_urls("pipe:cat s-{08..11}.tar") == [
+        f"pipe:cat s-{i:02d}.tar" for i in (8, 9, 10, 11)
+    ]
+    assert expand_shard_urls("plain.tar") == ["plain.tar"]
+
+
+def test_discover_shards_remote_spec(tmp_path):
+    from deadtrees_tpu.data import discover_shards
+
+    urls = discover_shards("pipe:cat /data/s-{000..003}.tar", "*.tar")
+    assert len(urls) == 4 and urls[0] == "pipe:cat /data/s-000.tar"
+    # local directories still glob
+    _write_shard(tmp_path / "train-000000.tar", 2)
+    assert len(discover_shards(tmp_path, "*.tar")) == 1
+
+
+def test_datamodule_remote_pipe_end_to_end(tmp_path):
+    """DataModule trains straight off pipe: shard urls (brace-expanded)."""
+    for i in range(4):
+        _write_shard(tmp_path / f"s-{i:02d}.tar", 8, seed=i, prefix=f"p{i}")
+    cfg = DataConfig(
+        data_dir=f"pipe:cat {tmp_path}/s-{{00..03}}.tar",
+        batch_size=4, shuffle_buffer=0, num_workers=1,
+    )
+    dm = DeadtreesDataModule(cfg)
+    dm.setup()
+    batch = next(iter(dm.train_batches()))
+    assert batch["image"].shape == (4, 32, 32, 4)
+    assert batch["mask"].shape == (4, 32, 32)
