@@ -11,6 +11,7 @@ from deadtrees_tpu.infer.engine import (
     JaxInference,
 )
 from deadtrees_tpu.infer.sliding import make_scene_predictor, predict_scene
+from deadtrees_tpu.infer.tta import make_tta_fn
 from deadtrees_tpu.infer.tiler import (
     TileInfo,
     Tiler,
@@ -30,6 +31,7 @@ __all__ = [
     "make_blocks_chw",
     "make_blocks_nhwc",
     "make_scene_predictor",
+    "make_tta_fn",
     "predict_scene",
     "unmake_blocks_chw",
     "unmake_blocks_nhwc",

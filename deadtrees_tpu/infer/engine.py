@@ -78,6 +78,7 @@ class JaxInference(Inference):
         fused_decoder: Union[bool, str] = False,
         quantized: Union[bool, str] = False,
         quant_sites: Sequence[str] = ("y",),
+        tta: Union[bool, int] = False,
     ):
         """``fused_decoder`` (efficientunet++ checkpoints only) routes the
         decoder through Pallas kernels with BatchNorms folded at load:
@@ -132,6 +133,14 @@ class JaxInference(Inference):
         bad_sites = set(quant_sites) - {"y", "h", "s"}
         if bad_sites:
             raise ValueError(f"unknown quant_sites {sorted(bad_sites)}")
+        if tta not in (False, 0, True, 4, 8):
+            raise ValueError(f"tta={tta!r}; expected False, True (8), 4 or 8")
+        if tta and (fused_decoder or quantized == "w8a8"):
+            raise ValueError(
+                "tta composes with the standard predict path only "
+                "(not fused_decoder / quantized='w8a8')"
+            )
+        self.tta_views = 8 if tta is True else int(tta)
         self.model, self.variables, self.hparams = load_model(checkpoint)
         self.in_channels = _sniff_in_channels(self.variables["params"], self.hparams)
         mean = tuple(mean)[: self.in_channels]
@@ -231,6 +240,24 @@ class JaxInference(Inference):
                         layout=layout,
                     )
                 return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        elif self.tta_views:
+            from deadtrees_tpu.infer.tta import make_tta_fn
+
+            views = self.tta_views
+
+            @partial(jax.jit, compiler_options=tpu_compiler_options())
+            def _predict(params, batch_stats, img_u8):
+                img = normalize(img_u8.astype(jnp.float32), mean, std)
+
+                def logits_fn(x):
+                    return model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        x, train=False,
+                    )
+
+                probs = make_tta_fn(logits_fn, views)(img)
+                return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
 
         else:
 

@@ -42,6 +42,7 @@ def make_scene_predictor(
     std: Sequence[float] = DATASET_CONFIG.std,
     mesh=None,
     packed: bool = False,
+    tta: int = 0,
 ) -> Callable:
     """Build ``predict(params, batch_stats, scene_u8, valid) -> class map``.
 
@@ -97,10 +98,20 @@ def make_scene_predictor(
 
         def run_chunk(chunk):
             img = normalize(chunk.astype(jnp.float32), m, s)
-            logits = model.apply(
-                {"params": params, "batch_stats": batch_stats}, img, train=False
-            )
-            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+            def logits_fn(x):
+                return model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x, train=False,
+                )
+
+            if tta:
+                from deadtrees_tpu.infer.tta import make_tta_fn
+
+                scores = make_tta_fn(logits_fn, tta)(img)
+            else:
+                scores = logits_fn(img)
+            return jnp.argmax(scores, axis=-1).astype(jnp.uint8)
 
         preds = jax.lax.map(run_chunk, chunks)  # (n_chunks, bs, d, d)
         preds = preds.reshape(-1, subtile, subtile)[: ns * n]
@@ -130,6 +141,7 @@ def predict_scene(
     predictor: Optional[Callable] = None,
     mean: Sequence[float] = DATASET_CONFIG.mean,
     std: Sequence[float] = DATASET_CONFIG.std,
+    tta: int = 0,
 ) -> np.ndarray:
     """Convenience wrapper: (H, W, C) scene → (H, W) class map (cropped)."""
     tiler = Tiler(tile_shape=tile_shape, subtile_shape=(subtile, subtile))
@@ -138,7 +150,7 @@ def predict_scene(
     # time on the bench attachment); unpacked transparently here
     fn = predictor or make_scene_predictor(
         model, subtile=subtile, batch_size=batch_size, mean=mean, std=std,
-        packed=True,
+        packed=True, tta=tta,
     )
     out = np.asarray(
         fn(
@@ -171,6 +183,7 @@ def predict_scenes(
     predictor: Optional[Callable] = None,
     mean: Sequence[float] = DATASET_CONFIG.mean,
     std: Sequence[float] = DATASET_CONFIG.std,
+    tta: int = 0,
 ) -> list:
     """Batched scene inference: N scenes → N (H, W) class maps.
 
@@ -190,7 +203,7 @@ def predict_scenes(
         scenes_per_dispatch = max(1, batch_size // per_scene)
     fn = predictor or make_scene_predictor(
         model, subtile=subtile, batch_size=batch_size, mean=mean, std=std,
-        packed=True,
+        packed=True, tta=tta,
     )
 
     scenes = list(scenes)

@@ -55,6 +55,12 @@ def main() -> None:
         "model sub-batch; a 2048² scene has 16 subtiles of 512², so "
         "bs=128 packs 8 scenes per dispatch — or 2 with --subtile 256)",
     )
+    parser.add_argument(
+        "--tta", type=int, default=0, choices=(0, 4, 8),
+        help="test-time augmentation views: 0 off, 4 rotations, 8 full "
+        "dihedral (the train-augmentation orbit); ~views× device compute "
+        "for a measurable accuracy bump",
+    )
     parser.add_argument("--preview", action="store_true", help="also write PNG preview")
     args = parser.parse_args()
 
@@ -112,7 +118,7 @@ def main() -> None:
         if predictor is None:
             predictor = make_scene_predictor(
                 engine.model, subtile=args.subtile, batch_size=args.bs,
-                packed=True,
+                packed=True, tta=args.tta,
             )
         from deadtrees_tpu.infer.packing import unpack2
 
