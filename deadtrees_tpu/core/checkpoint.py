@@ -130,6 +130,16 @@ class AsyncCheckpointWriter:
         for p in paths:
             _write_payload(p, payload)
 
+    def delete(self, path: Union[str, Path]) -> None:
+        """Queue a file removal ON THE WRITER THREAD so it is ordered after
+        every previously queued write. Deleting a superseded best checkpoint
+        from the train loop directly would race its own (possibly still
+        queued) write: the unlink sees no file yet, skips, and the write
+        later lands a stale 'best' next to the real one."""
+        self._pending.append(
+            self._pool.submit(lambda p=Path(path): p.unlink(missing_ok=True))
+        )
+
     def wait(self) -> None:
         """Block until every queued write is on disk; re-raise the first
         failure (later failures are logged, not lost silently)."""
@@ -202,13 +212,19 @@ class BestCheckpointKeeper:
         return value > self.best_value if self.mode == "max" else value < self.best_value
 
     def update(
-        self, value: float, epoch: int, save_fn, save_many_fn=None
+        self, value: float, epoch: int, save_fn, save_many_fn=None,
+        delete_fn=None,
     ) -> Optional[Path]:
         """``save_fn(path)`` writes the checkpoint; returns new best path.
 
         ``save_many_fn(paths)``, when given, writes one state snapshot to
         several paths — improved epochs then save last.ckpt + the new best
-        from a single device fetch/encode instead of two."""
+        from a single device fetch/encode instead of two.
+
+        ``delete_fn(path)`` removes the superseded best. With an async
+        writer it MUST be the writer's own :meth:`AsyncCheckpointWriter.delete`
+        so the removal is ordered after that file's (possibly still queued)
+        write; the default direct unlink is only correct for sync saves."""
         last = self.directory / "last.ckpt"
         if self.is_improvement(value):
             new_best = self.directory / self.filename.format(epoch=epoch)
@@ -217,8 +233,11 @@ class BestCheckpointKeeper:
             else:
                 save_fn(last)
                 save_fn(new_best)
-            if self.best_path is not None and self.best_path.exists():
-                self.best_path.unlink()
+            if self.best_path is not None and self.best_path != new_best:
+                if delete_fn is not None:
+                    delete_fn(self.best_path)
+                elif self.best_path.exists():
+                    self.best_path.unlink()
             self.best_path = new_best
             self.best_value = value
             log.info(f"New best {self.monitor}={value:.4f} at {new_best}")

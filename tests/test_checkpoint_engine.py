@@ -125,6 +125,46 @@ def test_async_writer_save_many_single_snapshot(ckpt_path, tmp_path):
     writer.close()
 
 
+def test_async_writer_delete_ordered_after_write(ckpt_path, tmp_path):
+    """writer.delete() must queue on the writer thread, after prior writes."""
+    from deadtrees_tpu.core import AsyncCheckpointWriter
+
+    ckpt = load_checkpoint(ckpt_path)
+    writer = AsyncCheckpointWriter()
+    path = tmp_path / "epoch_000.ckpt"
+    writer.save(
+        path, params=ckpt["params"], batch_stats=ckpt["batch_stats"],
+        hparams=ckpt["hparams"], step=1, epoch=0,
+    )
+    writer.delete(path)  # queued AFTER the write: no stale file survives
+    writer.wait()
+    assert not path.exists()
+    # and a delete of a never-written path is a silent no-op
+    writer.delete(tmp_path / "never_written.ckpt")
+    writer.close()
+
+
+def test_best_keeper_delete_fn_defers_to_writer_queue(tmp_path):
+    """Superseded-best removal must ride the async queue: a direct unlink
+    at update() time races the old best's still-queued write and leaves a
+    stale 'best' file once that write lands."""
+    keeper = BestCheckpointKeeper(tmp_path, monitor="val/dice", mode="max")
+    queue = []  # simulated async writer: ops run strictly in order, later
+
+    def save_many_fn(paths):
+        queue.append(lambda paths=list(paths): [p.write_bytes(b"x") for p in paths])
+
+    def delete_fn(path):
+        queue.append(lambda p=path: p.unlink(missing_ok=True))
+
+    keeper.update(0.5, 0, None, save_many_fn=save_many_fn, delete_fn=delete_fn)
+    keeper.update(0.7, 1, None, save_many_fn=save_many_fn, delete_fn=delete_fn)
+    for op in queue:  # drain the "writer thread"
+        op()
+    existing = {p.name for p in tmp_path.glob("*.ckpt")}
+    assert existing == {"last.ckpt", "epoch_001.ckpt"}
+
+
 def test_async_writer_surfaces_write_errors(ckpt_path, tmp_path):
     from deadtrees_tpu.core import AsyncCheckpointWriter
 
