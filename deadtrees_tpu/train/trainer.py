@@ -148,6 +148,49 @@ class Trainer:
         self.cfg = config
         self.work_dir = Path(work_dir or ".")
         self.stats = {"train": Counter(), "val": Counter(), "test": Counter()}
+        self._stop_requested = False
+
+    # -- preemption ---------------------------------------------------------
+    def request_stop(self) -> None:
+        """Ask the fit loop to stop at the next step boundary, write
+        last.ckpt, and return normally with ``result['preempted'] = 1.0``.
+        Thread-safe; also what the SIGTERM trap calls. The reference has no
+        preemption story (docker restart + manual resume only,
+        docker-compose.yml:13); on preemptible TPU pods the manager sends
+        SIGTERM with a grace window — this turns it into a clean
+        checkpoint+resume cycle."""
+        self._stop_requested = True
+
+    def _sigterm_trap(self):
+        """Context manager installing a SIGTERM handler for the duration of
+        fit() (main thread only; no-op elsewhere). Multi-host note: the
+        launcher must deliver SIGTERM to EVERY process — a single stopped
+        process would leave the others waiting in collectives."""
+        import contextlib
+        import signal
+
+        @contextlib.contextmanager
+        def trap():
+            try:
+                prev = signal.signal(
+                    signal.SIGTERM,
+                    lambda *_: (
+                        log.warning(
+                            "SIGTERM: stopping at the next step boundary "
+                            "and checkpointing"
+                        ),
+                        self.request_stop(),
+                    ),
+                )
+            except ValueError:  # not the main thread
+                yield
+                return
+            try:
+                yield
+            finally:
+                signal.signal(signal.SIGTERM, prev)
+
+        return trap()
 
     # -- assembly ----------------------------------------------------------
     def _build(self):
@@ -469,7 +512,13 @@ class Trainer:
         best = None
         since_improve = 0
         last_val: Dict[str, float] = {}
+        preempted = False
 
+        import contextlib
+
+        trap = contextlib.ExitStack()
+        if tc.get("handle_sigterm", True):
+            trap.enter_context(self._sigterm_trap())
         try:
             for epoch in range(start_epoch, max_epochs):
                 frozen = bool(
@@ -499,6 +548,8 @@ class Trainer:
                 for i, batch in enumerate(self.datamodule.train_batches(erng)):
                     if step_cap is not None and i >= int(step_cap):
                         break
+                    if self._stop_requested:
+                        break
                     files = batch.pop("files", [])
                     self.stats["train"].update(files)
                     batch.pop("lu", None)  # unused in training (segmodel.py:212)
@@ -511,6 +562,19 @@ class Trainer:
                     train_metrics.append(m)
                     n_steps += 1
                 dt = time.perf_counter() - t0
+
+                if self._stop_requested:
+                    # save the mid-epoch state as last.ckpt with epoch-1 so
+                    # resume REPLAYS the interrupted epoch in full
+                    log.warning(
+                        f"Stop requested: checkpointing mid-epoch {epoch} "
+                        f"after {n_steps} step(s) and exiting cleanly"
+                    )
+                    self._ckpt_saver(epoch - 1)(
+                        self.keeper.directory / "last.ckpt"
+                    )
+                    preempted = True
+                    break
 
                 epoch_train = _mean_metrics(train_metrics, "train")
                 val = self._run_val_epoch(
@@ -553,6 +617,7 @@ class Trainer:
                     self.keeper.update(
                         monitored, epoch, self._ckpt_saver(epoch),
                         save_many_fn=self._ckpt_saver_many(epoch),
+                        delete_fn=self._ckpt_deleter(),
                     )
                     if improved:
                         since_improve = 0
@@ -562,7 +627,11 @@ class Trainer:
                     if since_improve >= self.es_patience and epoch + 1 >= min_epochs:
                         log.info(f"Early stopping at epoch {epoch}")
                         break
+                if self._stop_requested:  # landed between epochs: keeper
+                    preempted = True      # already saved last.ckpt
+                    break
         finally:
+            trap.close()
             if profiler_dir:
                 jax.profiler.stop_trace()
             if self._ckpt_writer is not None:
@@ -581,6 +650,8 @@ class Trainer:
             self.teardown()
 
         result = dict(last_val)
+        if preempted:
+            result["preempted"] = 1.0
         if best is not None:
             result["best/" + self.es_monitor] = best
         if self.keeper.best_path:
@@ -695,6 +766,19 @@ class Trainer:
                     single(p)
 
         return save_many
+
+    def _ckpt_deleter(self):
+        """Old-best removal, ordered after its write when saves are async."""
+
+        def delete(path):
+            if jax.process_index() != 0:
+                return
+            if self._ckpt_writer is not None:
+                self._ckpt_writer.delete(path)
+            elif Path(path).exists():
+                Path(path).unlink()
+
+        return delete
 
     def test(self, ckpt_path: Optional[str] = None) -> Dict[str, float]:
         """Test loop, optionally from a checkpoint (train.py:119-121 /
