@@ -60,7 +60,13 @@ class SegmentationService:
         model_name: str = "bestmodel",
         batch_wait_ms: Optional[float] = None,
         max_batch: int = 32,
+        tta: int = 0,
     ):
+        """``tta`` (0/4/8): dihedral test-time-augmentation views for the
+        checkpoint engine (infer/tta.py) — an accuracy-over-latency serving
+        mode (~views× device compute per request). Incompatible with the
+        fused small-batch decoder routing, so tta>0 runs the standard
+        predict path."""
         from deadtrees_tpu.infer import ExportedInference, JaxInference
 
         self.model_name = model_name
@@ -70,13 +76,17 @@ class SegmentationService:
             # API requests are small batches: batch-size-aware decoder
             # routing (≤32 images → fused CHW kernels, 1.42× at bs=4/512²,
             # measured crossover at 32 — PERF.md r3). Non-efficientunet++
-            # checkpoints fall back.
-            try:
-                self.engines["jax"] = JaxInference(
-                    checkpoint, fused_decoder="auto"
-                )
-            except Exception:
-                self.engines["jax"] = JaxInference(checkpoint)
+            # checkpoints fall back. TTA (accuracy mode) excludes the
+            # fused routing by engine contract.
+            if tta:
+                self.engines["jax"] = JaxInference(checkpoint, tta=tta)
+            else:
+                try:
+                    self.engines["jax"] = JaxInference(
+                        checkpoint, fused_decoder="auto"
+                    )
+                except Exception:
+                    self.engines["jax"] = JaxInference(checkpoint)
         if exported:
             self.engines["exported"] = ExportedInference(exported)
         if not self.engines:
@@ -154,13 +164,20 @@ class SegmentationService:
 
 
 def create_app(
-    checkpoint: Optional[str] = None, exported: Optional[str] = None
+    checkpoint: Optional[str] = None,
+    exported: Optional[str] = None,
+    service: Optional[SegmentationService] = None,
+    **service_kwargs,
 ):
-    """FastAPI app factory (reference server.py:24-29)."""
+    """FastAPI app factory (reference server.py:24-29). Pass ``service`` to
+    reuse an already-built engine stack (the CLI does — building a second
+    one here would double the model load AND drop the CLI's batching/tta
+    knobs); otherwise one is constructed from the remaining arguments."""
     from fastapi import FastAPI, File
     from starlette.responses import HTMLResponse, Response
 
-    service = SegmentationService(checkpoint, exported)
+    if service is None:
+        service = SegmentationService(checkpoint, exported, **service_kwargs)
     app = FastAPI(
         title="DeadTrees image segmentation",
         description="Semantic segmentation maps of dead trees (TPU-native).",
@@ -274,18 +291,23 @@ def main() -> None:
         "--max-batch", type=int, default=32,
         help="dynamic-batching cap (32 = the measured fused-CHW crossover)",
     )
+    ap.add_argument(
+        "--tta", type=int, default=0, choices=(0, 4, 8),
+        help="test-time-augmentation views for the checkpoint engine "
+        "(accuracy-over-latency mode: ~views x compute per request)",
+    )
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
     wait = None if args.batch_wait_ms < 0 else args.batch_wait_ms
     service = SegmentationService(
         args.checkpoint, args.exported,
-        batch_wait_ms=wait, max_batch=args.max_batch,
+        batch_wait_ms=wait, max_batch=args.max_batch, tta=args.tta,
     )
     try:
         import uvicorn
 
-        app = create_app(args.checkpoint, args.exported)
+        app = create_app(service=service)
         uvicorn.run(app, host=args.host, port=args.port)
     except ImportError:
         serve_stdlib(service, args.host, args.port).serve_forever()

@@ -222,3 +222,57 @@ def test_service_batched_matches_unbatched(tmp_path):
         assert batcher.dispatches == 1  # max_batch reached -> one device call
     finally:
         batched.batchers["jax"].close()
+
+
+def _tiny_service_ckpt(tmp_path):
+    from deadtrees_tpu.core import save_checkpoint
+    from deadtrees_tpu.models import create_model, init_model
+
+    hparams = dict(
+        architecture="unet", encoder_name="resnet18", in_channels=4,
+        classes=3, decoder_channels=[16, 16, 8, 8, 8],
+    )
+    model = create_model(**hparams, dtype=jnp.float32)
+    variables = init_model(model, jax.random.PRNGKey(0), image_size=32)
+    ckpt = tmp_path / "model.ckpt"
+    save_checkpoint(
+        ckpt, params=variables["params"], batch_stats=variables["batch_stats"],
+        hparams=hparams, step=1, epoch=1,
+    )
+    return ckpt
+
+
+def test_service_tta_mode(tmp_path):
+    """SegmentationService(tta=) serves through the TTA engine."""
+    import io
+
+    from PIL import Image
+
+    from deadtrees_tpu.serve import SegmentationService
+
+    ckpt = _tiny_service_ckpt(tmp_path)
+    svc = SegmentationService(ckpt, tta=4)
+    assert svc.engines["jax"].tta_views == 4
+    img = np.random.default_rng(3).integers(0, 255, (32, 32, 4), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGBA").save(buf, "PNG")
+    body, headers = svc.segment(buf.getvalue())
+    mask = np.asarray(Image.open(io.BytesIO(body)))
+    assert mask.shape == (32, 32)
+
+
+def test_create_app_reuses_service(tmp_path, monkeypatch):
+    """create_app(service=...) must NOT build a second engine stack — the
+    CLI's batching/tta knobs live on the service it already built."""
+    import deadtrees_tpu.serve.server as srv
+
+    pytest.importorskip("fastapi", reason="FastAPI flavor not installed")
+    ckpt = _tiny_service_ckpt(tmp_path)
+    service = srv.SegmentationService(ckpt)
+
+    def boom(*a, **k):
+        raise AssertionError("create_app constructed a second service")
+
+    monkeypatch.setattr(srv, "SegmentationService", boom)
+    app = srv.create_app(service=service)
+    assert app is not None
