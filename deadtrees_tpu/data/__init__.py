@@ -8,6 +8,7 @@ from deadtrees_tpu.data.pipeline import DataConfig, DeadtreesDataModule
 from deadtrees_tpu.data.shards import discover_shards, split_shards
 from deadtrees_tpu.data.tar import (
     ShardSampleStream,
+    cache_shard,
     count_shard_samples,
     decode_sample,
     expand_shard_urls,
@@ -24,6 +25,7 @@ __all__ = [
     "DeadtreesDataModule",
     "ShardSampleStream",
     "augment_batch",
+    "cache_shard",
     "count_shard_samples",
     "decode_sample",
     "discover_shards",

@@ -69,6 +69,10 @@ class DataConfig:
     split_fractions: Sequence[float] = DATASET_CONFIG.fractions
     seed: int = 0
     use_native: bool = True  # C++ tar/TIFF fast path when built
+    # local materialization dir for REMOTE shards (pipe:/http): epoch 1
+    # streams the download into the cache, later epochs (and the native
+    # decoder) read the local file (tar.cache_shard)
+    cache_dir: Optional[str] = None
     # multi-host input sharding (SURVEY.md §5.8): each process reads only
     # its shard subset and contributes a process-local slice of the global
     # batch. Defaults resolve to jax.process_index()/process_count().
@@ -241,7 +245,13 @@ class DeadtreesDataModule:
                 f"({len(train_shards)} total) — need >= one shard per host"
             )
 
-        self.shard_size = count_shard_samples(train_shards[0])
+        probe = train_shards[0]
+        if self.cfg.cache_dir is not None:
+            # prime the cache: the probe download is then reused by epoch 1
+            from deadtrees_tpu.data.tar import cache_shard
+
+            probe = cache_shard(probe, self.cfg.cache_dir)
+        self.shard_size = count_shard_samples(probe)
 
         self.extra_train_shards: List[List[str]] = []
         self.extra_valid_shards: List[List[str]] = []
@@ -371,7 +381,7 @@ class DeadtreesDataModule:
             make_sample_stream(
                 main_shards, shuffle=shuffle, seed=seed, loop=loop,
                 prefer_native=cfg.use_native, n_threads=cfg.num_workers,
-                raw=local_slice,
+                raw=local_slice, cache_dir=cfg.cache_dir,
             ),
             part_sizes[0],
             cfg,
@@ -382,7 +392,7 @@ class DeadtreesDataModule:
                 make_sample_stream(
                     shards, shuffle=shuffle, seed=seed + 1 + i, loop=True,
                     prefer_native=cfg.use_native, n_threads=cfg.num_workers,
-                    raw=local_slice,
+                    raw=local_slice, cache_dir=cfg.cache_dir,
                 ),
                 part_sizes[1 + i],
                 cfg,

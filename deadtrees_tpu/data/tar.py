@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import random
 import re
 import tarfile
@@ -97,6 +98,55 @@ def open_shard(url: str):
     else:
         with tarfile.open(url, "r") as tf:
             yield tf
+
+
+def cache_shard(url: str, cache_dir) -> str:
+    """Materialize a remote shard (pipe:/http) into ``cache_dir`` once and
+    return the local path; local paths pass through. Later epochs — and the
+    C++ native tar-index/decode fast path, which needs a real file — then
+    skip the network entirely (WebDataset's url cache analogue). Downloads
+    land atomically (tmp + rename), so concurrent streams at worst fetch
+    twice, never read a torn file. A pipe command's non-zero exit discards
+    the download."""
+    from pathlib import Path
+
+    if not is_remote_shard(url):
+        return str(url)
+    import hashlib
+
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    base = url.rstrip("/").rsplit("/", 1)[-1].rsplit(" ", 1)[-1] or "shard.tar"
+    if not base.endswith(".tar"):
+        base += ".tar"
+    tag = hashlib.sha1(url.encode()).hexdigest()[:10]
+    local = cache_dir / f"{tag}-{base}"
+    if local.exists():
+        return str(local)
+    tmp = local.with_suffix(local.suffix + f".tmp{os.getpid()}")
+    try:
+        with open(tmp, "wb") as out:
+            if url.startswith("pipe:"):
+                import subprocess
+
+                proc = subprocess.Popen(
+                    url[len("pipe:"):], shell=True, stdout=out
+                )
+                rc = proc.wait()
+                if rc != 0:
+                    raise RuntimeError(
+                        f"shard pipe command failed (exit {rc}): {url}"
+                    )
+            else:
+                import shutil
+                import urllib.request
+
+                with urllib.request.urlopen(url) as resp:
+                    shutil.copyfileobj(resp, out)
+        tmp.replace(local)  # atomic publish
+    finally:
+        tmp.unlink(missing_ok=True)
+    return str(local)
 
 
 def iter_tar_samples(path: str) -> Iterator[Dict[str, bytes]]:
@@ -202,12 +252,22 @@ class ShardSampleStream:
         seed: int = 0,
         loop: bool = False,
         raw: bool = False,
+        cache_dir: Optional[str] = None,
     ):
         self.shards = [str(s) for s in shards]
         self.shuffle = shuffle
         self.loop = loop
         self.raw = raw
+        self.cache_dir = cache_dir
         self._rng = random.Random(seed)
+
+    def _resolve(self, shard: str) -> str:
+        """Remote shards materialize into ``cache_dir`` on first touch
+        (epoch 1 pays the download; every later epoch — and the native
+        C++ fast path — reads the local file)."""
+        if self.cache_dir is not None:
+            return cache_shard(shard, self.cache_dir)
+        return shard
 
     def __iter__(self) -> Iterator[Dict]:
         while True:
@@ -216,7 +276,7 @@ class ShardSampleStream:
                 self._rng.shuffle(shards)
             buf: List[Dict] = []
             for shard in shards:
-                for raw in iter_tar_samples(shard):
+                for raw in iter_tar_samples(self._resolve(shard)):
                     sample = {"__raw__": raw} if self.raw else decode_sample(raw)
                     if self.shuffle <= 1:
                         yield sample
@@ -322,7 +382,7 @@ class NativeShardSampleStream(ShardSampleStream):
                 self._rng.shuffle(shards)
             buf: List[Dict] = []
             for shard in shards:
-                for sample in self._iter_shard(shard):
+                for sample in self._iter_shard(self._resolve(shard)):
                     if self.shuffle <= 1:
                         yield sample
                         continue
@@ -340,6 +400,7 @@ class NativeShardSampleStream(ShardSampleStream):
 def make_sample_stream(
     shards, *, shuffle: int = 0, seed: int = 0, loop: bool = False,
     prefer_native: bool = True, n_threads: int = 4, raw: bool = False,
+    cache_dir: Optional[str] = None,
 ) -> ShardSampleStream:
     """Factory: native stream when the C++ library is built, else Python."""
     if prefer_native:
@@ -349,12 +410,13 @@ def make_sample_stream(
             if native.available():
                 return NativeShardSampleStream(
                     shards, shuffle=shuffle, seed=seed, loop=loop,
-                    n_threads=n_threads, raw=raw,
+                    n_threads=n_threads, raw=raw, cache_dir=cache_dir,
                 )
         except Exception:  # pragma: no cover
             pass
     return ShardSampleStream(
-        shards, shuffle=shuffle, seed=seed, loop=loop, raw=raw
+        shards, shuffle=shuffle, seed=seed, loop=loop, raw=raw,
+        cache_dir=cache_dir,
     )
 
 

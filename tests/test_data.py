@@ -581,3 +581,46 @@ def test_datamodule_remote_pipe_end_to_end(tmp_path):
     batch = next(iter(dm.train_batches()))
     assert batch["image"].shape == (4, 32, 32, 4)
     assert batch["mask"].shape == (4, 32, 32)
+
+
+def test_cache_shard_materializes_once(tmp_path):
+    from deadtrees_tpu.data import cache_shard, iter_tar_samples
+
+    shard = tmp_path / "train-000000.tar"
+    keys = _write_shard(shard, 4)
+    cache = tmp_path / "cache"
+    marker = tmp_path / "fetches.log"
+    url = f"pipe:cat {shard} && echo hit >> {marker}"
+
+    local1 = cache_shard(url, cache)
+    local2 = cache_shard(url, cache)
+    assert local1 == local2 and Path(local1).parent == cache
+    assert marker.read_text().count("hit") == 1  # one network fetch
+    got = [s["__key__"].decode() for s in iter_tar_samples(local1)]
+    assert got == keys
+    # local paths pass through untouched
+    assert cache_shard(str(shard), cache) == str(shard)
+
+
+def test_cache_shard_failed_download_not_published(tmp_path):
+    from deadtrees_tpu.data import cache_shard
+
+    cache = tmp_path / "cache"
+    with pytest.raises(RuntimeError, match="exit"):
+        cache_shard("pipe:false", cache)
+    assert list(cache.glob("*.tar")) == []  # nothing torn left behind
+
+
+def test_stream_cache_dir_switches_to_local_after_first_epoch(tmp_path):
+    from deadtrees_tpu.data.tar import make_sample_stream
+
+    shard = tmp_path / "train-000000.tar"
+    _write_shard(shard, 4)
+    cache = tmp_path / "cache"
+    marker = tmp_path / "fetches.log"
+    url = f"pipe:cat {shard} && echo hit >> {marker}"
+
+    stream = make_sample_stream([url], shuffle=0, cache_dir=str(cache))
+    for _ in range(3):  # three epochs
+        assert sum(1 for _ in stream) == 4
+    assert marker.read_text().count("hit") == 1
