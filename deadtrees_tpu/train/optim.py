@@ -37,8 +37,12 @@ class OptimizerConfig:
     learning_rate: float = 3e-4
     cosineannealing_tmax: int = 10  # epochs per half-cosine
     gradient_clip_val: float = 0.5
-    steps_per_epoch: int = 1  # for the per-epoch-stepped schedule
+    steps_per_epoch: int = 1  # OPTIMIZER updates per epoch (micro-steps/k)
     eta_min: float = 0.0
+    # Lightning Trainer(accumulate_grad_batches=k): average grads over k
+    # micro-batches, apply one optimizer update — effective batch k× what
+    # fits in HBM (bs>128 compile-OOMs on v5e at 256², PERF.md r3)
+    accumulate_grad_batches: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,13 +71,25 @@ def cosine_annealing_schedule(config: OptimizerConfig, base_lr: float):
 def make_optimizer(
     config: OptimizerConfig, *, lr_scale: float = 1.0
 ) -> optax.GradientTransformation:
-    """clip-by-global-norm → Adam with per-epoch cosine annealing."""
+    """clip-by-global-norm → Adam with per-epoch cosine annealing.
+
+    With ``accumulate_grad_batches=k > 1`` the whole chain wraps in
+    ``optax.MultiSteps``: micro-step gradients accumulate (mean) and the
+    inner chain — including the clip, which therefore acts on the
+    FULL-batch gradient like a real big batch — applies every k-th step.
+    The cosine schedule's step count ticks once per applied update, so
+    ``steps_per_epoch`` must already be expressed in optimizer updates
+    (the Trainer divides by k)."""
     schedule = cosine_annealing_schedule(config, config.learning_rate * lr_scale)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(config.gradient_clip_val),
         optax.scale_by_adam(),
         optax.scale_by_learning_rate(schedule),
     )
+    k = int(getattr(config, "accumulate_grad_batches", 1) or 1)
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k).gradient_transformation()
+    return tx
 
 
 def encoder_grad_mask(grads: Any, frozen: jnp.ndarray) -> Any:

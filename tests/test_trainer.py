@@ -278,3 +278,22 @@ def test_sigterm_trap_sets_stop_flag(dataset, tmp_path):
         assert trainer._stop_requested
     # handler restored: the trap context is gone
     assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
+def test_fit_with_grad_accumulation(dataset, tmp_path):
+    """trainer.accumulate_grad_batches (the Lightning Trainer knob) runs
+    end-to-end: k micro-steps per optimizer update, normal artifacts."""
+    work = tmp_path / "run"
+    work.mkdir()
+    trainer = Trainer(
+        _config(dataset, work, trainer={
+            "max_epochs": 1, "min_epochs": 1, "precision": "f32",
+            "limit_train_batches": 4, "limit_val_batches": 1, "devices": 1,
+            "accumulate_grad_batches": 2,
+        }),
+        work_dir=work,
+    )
+    result = trainer.fit()
+    assert trainer.grad_accum == 2
+    assert "val/dice" in result
+    assert (work / "checkpoints" / "last.ckpt").exists()
