@@ -1,3 +1,4 @@
+from deadtrees_tpu.geo.mosaic import merge_tiles
 from deadtrees_tpu.geo.raster import bbox_intersects, rasterize, world_to_pixel
 from deadtrees_tpu.geo.shapefile import (
     read_dbf,
@@ -8,6 +9,7 @@ from deadtrees_tpu.geo.shapefile import (
 
 __all__ = [
     "bbox_intersects",
+    "merge_tiles",
     "rasterize",
     "read_dbf",
     "read_shapefile",
