@@ -1,5 +1,6 @@
 from deadtrees_tpu.geo.mosaic import merge_tiles
 from deadtrees_tpu.geo.raster import bbox_intersects, rasterize, world_to_pixel
+from deadtrees_tpu.geo.retile import retile
 from deadtrees_tpu.geo.shapefile import (
     read_dbf,
     read_shapefile,
@@ -14,6 +15,7 @@ __all__ = [
     "read_dbf",
     "read_shapefile",
     "read_shp",
+    "retile",
     "ring_signed_area",
     "world_to_pixel",
 ]
