@@ -4,7 +4,9 @@ Counterpart of the reference FastAPI backend
 (/root/reference/deadtrees/deployment/server.py:24-128): a ``GET /`` HTML
 landing page, and ``POST /segmentation`` taking an image upload and
 returning a PNG mask (×255) with prediction stats in response headers
-(fraction, model name/type, elapsed seconds).
+(fraction, model name/type, elapsed seconds). Production extras beyond the
+reference: ``GET /healthz`` (liveness + loaded configuration) and
+``GET /metrics`` (Prometheus request counters).
 
 Backends: ``model_type=jax`` runs the checkpoint engine (PyTorch-engine
 analogue), ``model_type=exported`` the AOT artifact (ONNX analogue).
@@ -69,9 +71,16 @@ class SegmentationService:
         predict path."""
         from deadtrees_tpu.infer import ExportedInference, JaxInference
 
+        import threading
+
         self.model_name = model_name
         self.engines: Dict[str, object] = {}
         self.batchers: Dict[str, object] = {}
+        self.tta = tta
+        self._metrics_lock = threading.Lock()
+        self._requests: Dict[str, int] = {}
+        self._errors_total = 0
+        self._latency_sum = 0.0
         if checkpoint:
             # API requests are small batches: batch-size-aware decoder
             # routing (≤32 images → fused CHW kernels, 1.42× at bs=4/512²,
@@ -111,6 +120,56 @@ class SegmentationService:
             batcher.close()
         self.batchers.clear()
 
+    def health(self) -> Dict:
+        """``GET /healthz`` payload: liveness + the serving configuration
+        an operator needs to confirm what is actually loaded."""
+        return {
+            "status": "ok",
+            "model_name": self.model_name,
+            "models": sorted(self.engines),
+            "batching": bool(self.batchers),
+            "tta": self.tta,
+        }
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the request counters (the
+        operator-observability analogue of the reference's per-response
+        PredictionStats headers, deployment/models.py:13-14 — those report
+        one request, this aggregates the process)."""
+        with self._metrics_lock:
+            requests = dict(self._requests)
+            errors = self._errors_total
+            latency = self._latency_sum
+        total = sum(requests.values())
+        lines = [
+            "# HELP deadtrees_requests_total Segmentation requests served.",
+            "# TYPE deadtrees_requests_total counter",
+            f"deadtrees_requests_total {total}",
+        ]
+        for model, n in sorted(requests.items()):
+            lines.append(
+                f'deadtrees_requests_total{{model_type="{model}"}} {n}'
+            )
+        lines += [
+            "# HELP deadtrees_request_errors_total Failed segmentation requests.",
+            "# TYPE deadtrees_request_errors_total counter",
+            f"deadtrees_request_errors_total {errors}",
+            "# HELP deadtrees_request_latency_seconds_sum Cumulative "
+            "segmentation latency (model time, not transfer).",
+            "# TYPE deadtrees_request_latency_seconds_sum counter",
+            f"deadtrees_request_latency_seconds_sum {latency:.6f}",
+        ]
+        return "\n".join(lines) + "\n"
+
+    def _record(self, model_type: str, elapsed: float) -> None:
+        with self._metrics_lock:
+            self._requests[model_type] = self._requests.get(model_type, 0) + 1
+            self._latency_sum += elapsed
+
+    def _record_error(self) -> None:
+        with self._metrics_lock:
+            self._errors_total += 1
+
     def segment(
         self,
         file_bytes: bytes,
@@ -128,18 +187,24 @@ class SegmentationService:
 
         model_type = model_type or next(iter(self.engines))
         if model_type not in self.engines:
+            self._record_error()
             raise ValueError(f"only {sorted(self.engines)} models allowed")
         engine = self.engines[model_type]
 
-        image = Image.open(io.BytesIO(file_bytes)).convert("RGBA")
-        arr = np.asarray(image)[None]  # (1, H, W, 4)
+        try:
+            image = Image.open(io.BytesIO(file_bytes)).convert("RGBA")
+            arr = np.asarray(image)[None]  # (1, H, W, 4)
 
-        with record_execution_time() as elapsed:
-            batcher = self.batchers.get(model_type)
-            if batcher is not None:
-                out = batcher.submit(arr[0])
-            else:
-                out = engine.run(arr)[0]
+            with record_execution_time() as elapsed:
+                batcher = self.batchers.get(model_type)
+                if batcher is not None:
+                    out = batcher.submit(arr[0])
+                else:
+                    out = engine.run(arr)[0]
+        except Exception:
+            self._record_error()
+            raise
+        self._record(model_type, elapsed())
 
         fraction = float((out > 0).sum() / out.size)
         stats = PredictionStats(
@@ -188,6 +253,14 @@ def create_app(
     async def root():
         return LANDING_HTML
 
+    @app.get("/healthz")
+    async def healthz():
+        return service.health()
+
+    @app.get("/metrics")
+    async def metrics():
+        return Response(service.metrics_text(), media_type="text/plain")
+
     @app.post("/segmentation")
     def get_segmentation_map(
         file: bytes = File(...),
@@ -212,15 +285,21 @@ def serve_stdlib(
             log.debug(fmt % args)
 
         def do_GET(self):
-            if self.path.rstrip("/") in ("", "/"):
-                body = LANDING_HTML.encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "text/html")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+            path = self.path.rstrip("/") or "/"
+            if path == "/":
+                body, ctype = LANDING_HTML.encode(), "text/html"
+            elif path == "/healthz":
+                body, ctype = json.dumps(service.health()).encode(), "application/json"
+            elif path == "/metrics":
+                body, ctype = service.metrics_text().encode(), "text/plain"
             else:
                 self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_POST(self):
             from urllib.parse import parse_qs, urlparse

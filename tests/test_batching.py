@@ -276,3 +276,68 @@ def test_create_app_reuses_service(tmp_path, monkeypatch):
     monkeypatch.setattr(srv, "SegmentationService", boom)
     app = srv.create_app(service=service)
     assert app is not None
+
+
+def test_service_health_and_metrics(tmp_path):
+    """/healthz + /metrics surface: counters move with requests and errors."""
+    import io
+
+    from PIL import Image
+
+    from deadtrees_tpu.serve import SegmentationService
+
+    ckpt = _tiny_service_ckpt(tmp_path)
+    svc = SegmentationService(ckpt)
+
+    health = svc.health()
+    assert health["status"] == "ok"
+    assert health["models"] == ["jax"] and health["batching"] is False
+
+    assert "deadtrees_requests_total 0" in svc.metrics_text()
+
+    img = np.random.default_rng(5).integers(0, 255, (32, 32, 4), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGBA").save(buf, "PNG")
+    svc.segment(buf.getvalue())
+    svc.segment(buf.getvalue())
+    with pytest.raises(ValueError):
+        svc.segment(buf.getvalue(), model_type="nope")
+
+    text = svc.metrics_text()
+    assert "deadtrees_requests_total 2" in text
+    assert 'deadtrees_requests_total{model_type="jax"} 2' in text
+    assert "deadtrees_request_errors_total 1" in text
+    assert "deadtrees_request_latency_seconds_sum" in text
+
+
+def test_stdlib_server_observability_routes(tmp_path):
+    """GET /healthz and /metrics served over real HTTP (stdlib flavor)."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from deadtrees_tpu.serve import SegmentationService
+    from deadtrees_tpu.serve.server import serve_stdlib
+
+    ckpt = _tiny_service_ckpt(tmp_path)
+    svc = SegmentationService(ckpt)
+    server = serve_stdlib(svc, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10
+        ) as resp:
+            payload = _json.loads(resp.read())
+        assert payload["status"] == "ok" and payload["models"] == ["jax"]
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=10
+        ) as resp:
+            body = resp.read().decode()
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        assert "deadtrees_requests_total 0" in body
+    finally:
+        server.shutdown()
+        server.server_close()
