@@ -788,9 +788,23 @@ class Trainer:
 
         return delete
 
-    def test(self, ckpt_path: Optional[str] = None) -> Dict[str, float]:
+    def test(
+        self, ckpt_path: Optional[str] = None, tta: Optional[int] = None
+    ) -> Dict[str, float]:
         """Test loop, optionally from a checkpoint (train.py:119-121 /
-        eval.py:117-119)."""
+        eval.py:117-119).
+
+        ``tta`` (or config key ``tta``): dihedral test-time-augmentation
+        views for the test metrics only — val epochs keep the fast plain
+        step. The TTA step is built per call (test runs once; the
+        recompile-per-epoch concern of the shared eval_step doesn't apply).
+        """
+        tta = int(self.cfg.get("tta", 0) or 0) if tta is None else int(tta)
+        eval_step = self.eval_step
+        if tta:
+            eval_step = make_eval_step(
+                self.model, self.loss, num_classes=self.num_classes, tta=tta
+            )
         if ckpt_path:
             from deadtrees_tpu.core.checkpoint import load_checkpoint
 
@@ -806,7 +820,7 @@ class Trainer:
             files = batch.pop("files", [])
             self.stats["test"].update(files)
             device_batch = shard_batch(batch, self.mesh)
-            m = self.eval_step(self.state, device_batch, jnp.int32(0))
+            m = eval_step(self.state, device_batch, jnp.int32(0))
             cms.append(np.asarray(m["cm"]))
             if "cm_masked" in m:
                 cms_masked.append(np.asarray(m["cm_masked"]))

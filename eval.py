@@ -4,6 +4,10 @@
 
 Same config surface as run.py but runs only the test loop from the given
 checkpoint (``trainer.test(ckpt_path=config.bestmodel)``, eval.py:117-119).
+
+Extra over the reference: ``tta=4`` / ``tta=8`` evaluates with dihedral
+test-time augmentation (mean view probabilities; measured +0.010 fg-dice
+at tta=8 — PROOFS/tta_accuracy_r3.json) at ~views× device compute.
 """
 
 from __future__ import annotations
