@@ -62,6 +62,12 @@ def main() -> None:
         "for a measurable accuracy bump",
     )
     parser.add_argument("--preview", action="store_true", help="also write PNG preview")
+    parser.add_argument(
+        "--mosaic", type=Path, default=None,
+        help="after all scenes, merge the predicted tiles into this single "
+        "georeferenced mosaic (the reference chains gdal_merge for this, "
+        "dvc.yaml:134-146)",
+    )
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -176,6 +182,18 @@ def main() -> None:
             write_out(tiler, scene_path)
 
     flush_group()
+
+    if args.mosaic is not None:
+        from deadtrees_tpu.geo.mosaic import merge_tiles
+
+        written = [args.outpath / p.name for p in scenes
+                   if (args.outpath / p.name).exists()]
+        if written:
+            summary = merge_tiles(written, args.mosaic)
+            print(f"wrote mosaic {args.mosaic}: {summary['tiles']} tiles, "
+                  f"{summary['height']}x{summary['width']} px")
+        else:
+            print("no predicted tiles written; mosaic skipped")
 
 
 if __name__ == "__main__":

@@ -154,12 +154,19 @@ def main() -> int:
     print(f"generated {args.scenes} scenes @ {args.scene_size}²", flush=True)
 
     # ---- stage 3: production inference CLI (TPU, own process) ----
+    mosaic_path = pred_dir / f"predicted_mosaic_{YEAR}.tif"
     dt = run_stage([
         sys.executable, "scripts/inference.py", scenes_dir, ckpt,
-        "--all", "--outpath", pred_dir,
+        "--all", "--outpath", pred_dir, "--mosaic", mosaic_path,
     ])
     preds = sorted(pred_dir.glob("ortho*.tif"))
     assert len(preds) == args.scenes, (len(preds), args.scenes)
+    # mosaic stage (gdal_merge analogue, dvc.yaml:134-146): every predicted
+    # pixel must land in the merged raster at its world position
+    from deadtrees_tpu.infer.geotiff import read_geotiff as _read
+
+    assert mosaic_path.exists(), mosaic_path
+    proof["mosaic"] = {"shape": list(np.squeeze(_read(mosaic_path).data).shape)}
     tiles512 = args.scenes * (args.scene_size / 512) ** 2
     proof["inference_cli"] = {
         "wall_seconds": round(dt, 1),
