@@ -96,11 +96,25 @@ def _meta_from_header(path: Union[str, Path]) -> TileMeta:
 
     from PIL import Image
 
+    _PIL_MODE_DTYPES = {
+        "1": np.dtype("uint8"), "L": np.dtype("uint8"), "P": np.dtype("uint8"),
+        "LA": np.dtype("uint8"), "RGB": np.dtype("uint8"),
+        "RGBA": np.dtype("uint8"),
+        "I": np.dtype("int32"), "F": np.dtype("float32"),
+    }
     with Image.open(str(path)) as img:
         w, h = img.size
         tags = {t: img.tag_v2[t] for t in GEO_TAGS if t in img.tag_v2}
         bands = len(img.getbands())
-        dtype = np.dtype("uint16") if img.mode.startswith("I;16") else np.dtype("uint8")
+        if img.mode.startswith("I;16"):
+            dtype = np.dtype("uint16")
+        elif img.mode in _PIL_MODE_DTYPES:
+            dtype = _PIL_MODE_DTYPES[img.mode]
+        else:
+            raise ValueError(
+                f"{path}: unsupported PIL mode {img.mode!r} for mosaicking "
+                "(install rasterio for full dtype coverage)"
+            )
     scale, tie = tags.get(33550), tags.get(33922)
     if not scale or not tie or len(tie) < 6:
         raise ValueError(f"{path}: no GeoTIFF scale/tiepoint tags — cannot place tile")
@@ -133,6 +147,18 @@ def _union_grid(metas: Sequence[TileMeta]) -> Tuple[PixelGrid, int, int]:
     ymin = min(m.bounds[1] for m in metas)
     xmax = max(m.bounds[2] for m in metas)
     ymax = max(m.bounds[3] for m in metas)
+    # Every origin must sit ON the shared grid: _placement round()s the
+    # offset, so a misaligned tile would be silently snapped up to half a
+    # pixel (and could overrun the union extent). Fail with the tile named.
+    for m in metas:
+        fx = abs((m.grid.x0 - xmin) / sx) % 1.0
+        fy = abs((ymax - m.grid.y0) / sy) % 1.0
+        if min(fx, 1.0 - fx) > 1e-3 or min(fy, 1.0 - fy) > 1e-3:
+            raise ValueError(
+                f"{m.path}: origin ({m.grid.x0}, {m.grid.y0}) is not on the "
+                f"shared pixel grid (anchor ({xmin}, {ymax}), scale "
+                f"({sx}, {sy})) — tiles must align to one grid to mosaic"
+            )
     width = int(round((xmax - xmin) / sx))
     height = int(round((ymax - ymin) / sy))
     return PixelGrid(x0=xmin, y0=ymax, sx=sx, sy=sy), height, width
@@ -215,6 +241,11 @@ def _merge_rasterio(metas, out_path, grid, height, width, bands, dtype,
         for m in metas:
             row, col = _placement(m, grid)
             with rasterio.open(str(m.path)) as src:
+                if crs is not None and src.crs is not None and src.crs != crs:
+                    raise ValueError(
+                        f"{m.path}: CRS {src.crs} differs from first tile "
+                        f"({crs}) — reproject before mosaicking"
+                    )
                 data = src.read()
             dst.write(data, window=Window(col, row, m.width, m.height))
 

@@ -39,9 +39,15 @@ def retile(
     tile_size: int = 2048,
     csv_name: str = "locations.csv",
     compress: str = "LZW",
+    append_csv: bool = False,
 ) -> List[Dict]:
     """Split ``src`` into ``tile_size``² tiles under ``target_dir`` and
-    append their world extents to ``target_dir/csv_name``.
+    write their world extents to ``target_dir/csv_name``.
+
+    ``append_csv=False`` (default) truncates the CSV first, so rerunning
+    into an existing directory never accumulates duplicate rows that
+    load_tile_grid would double-count; pass ``append_csv=True`` for the
+    2nd..Nth source of a multi-source run (scripts/retile.py does).
 
     Returns the per-tile records [{'filename', 'bounds'}] in the same
     normalized form scripts/createmasks.py's load_tile_grid yields.
@@ -54,7 +60,7 @@ def retile(
     else:
         records = _retile_pil(src, target_dir, tile_size, compress)
 
-    with open(target_dir / csv_name, "a") as f:
+    with open(target_dir / csv_name, "a" if append_csv else "w") as f:
         for r in records:
             xmin, ymin, xmax, ymax = r["bounds"]
             f.write(f"{r['filename']};{xmin};{xmax};{ymin};{ymax}\n")

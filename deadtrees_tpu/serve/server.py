@@ -140,11 +140,11 @@ class SegmentationService:
             requests = dict(self._requests)
             errors = self._errors_total
             latency = self._latency_sum
-        total = sum(requests.values())
+        # Only labeled series for the request counter: an unlabeled sibling
+        # of the same name would double-count under sum() in PromQL.
         lines = [
             "# HELP deadtrees_requests_total Segmentation requests served.",
             "# TYPE deadtrees_requests_total counter",
-            f"deadtrees_requests_total {total}",
         ]
         for model, n in sorted(requests.items()):
             lines.append(
@@ -154,10 +154,10 @@ class SegmentationService:
             "# HELP deadtrees_request_errors_total Failed segmentation requests.",
             "# TYPE deadtrees_request_errors_total counter",
             f"deadtrees_request_errors_total {errors}",
-            "# HELP deadtrees_request_latency_seconds_sum Cumulative "
+            "# HELP deadtrees_request_latency_seconds_total Cumulative "
             "segmentation latency (model time, not transfer).",
-            "# TYPE deadtrees_request_latency_seconds_sum counter",
-            f"deadtrees_request_latency_seconds_sum {latency:.6f}",
+            "# TYPE deadtrees_request_latency_seconds_total counter",
+            f"deadtrees_request_latency_seconds_total {latency:.6f}",
         ]
         return "\n".join(lines) + "\n"
 
@@ -285,7 +285,9 @@ def serve_stdlib(
             log.debug(fmt % args)
 
         def do_GET(self):
-            path = self.path.rstrip("/") or "/"
+            from urllib.parse import urlparse
+
+            path = urlparse(self.path).path.rstrip("/") or "/"
             if path == "/":
                 body, ctype = LANDING_HTML.encode(), "text/html"
             elif path == "/healthz":

@@ -35,10 +35,11 @@ def main(argv=None) -> int:
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     total = 0
-    for src in args.sources:
+    for i, src in enumerate(args.sources):
         records = retile(
             src, args.targetDir,
             tile_size=args.ps, csv_name=args.csv, compress=args.compress,
+            append_csv=i > 0,  # fresh CSV for the run, append across sources
         )
         total += len(records)
     print(f"wrote {total} tiles to {args.targetDir} (+ {args.csv})")

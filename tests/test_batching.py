@@ -293,7 +293,9 @@ def test_service_health_and_metrics(tmp_path):
     assert health["status"] == "ok"
     assert health["models"] == ["jax"] and health["batching"] is False
 
-    assert "deadtrees_requests_total 0" in svc.metrics_text()
+    fresh = svc.metrics_text()
+    assert "# TYPE deadtrees_requests_total counter" in fresh
+    assert "model_type=" not in fresh  # no requests yet -> no labeled series
 
     img = np.random.default_rng(5).integers(0, 255, (32, 32, 4), np.uint8)
     buf = io.BytesIO()
@@ -304,10 +306,11 @@ def test_service_health_and_metrics(tmp_path):
         svc.segment(buf.getvalue(), model_type="nope")
 
     text = svc.metrics_text()
-    assert "deadtrees_requests_total 2" in text
     assert 'deadtrees_requests_total{model_type="jax"} 2' in text
+    # no unlabeled sibling series (would double-count under PromQL sum())
+    assert "\ndeadtrees_requests_total 2" not in text
     assert "deadtrees_request_errors_total 1" in text
-    assert "deadtrees_request_latency_seconds_sum" in text
+    assert "deadtrees_request_latency_seconds_total" in text
 
 
 def test_stdlib_server_observability_routes(tmp_path):
@@ -332,12 +335,13 @@ def test_stdlib_server_observability_routes(tmp_path):
             payload = _json.loads(resp.read())
         assert payload["status"] == "ok" and payload["models"] == ["jax"]
 
+        # query strings must not break GET routing (urlparse in do_GET)
         with urllib.request.urlopen(
-            f"http://127.0.0.1:{port}/metrics", timeout=10
+            f"http://127.0.0.1:{port}/metrics?x=1", timeout=10
         ) as resp:
             body = resp.read().decode()
         assert resp.headers["Content-Type"].startswith("text/plain")
-        assert "deadtrees_requests_total 0" in body
+        assert "# TYPE deadtrees_requests_total counter" in body
     finally:
         server.shutdown()
         server.server_close()

@@ -99,6 +99,53 @@ def test_retile_rejects_ungeoreferenced(tmp_path):
         retile(p, tmp_path / "tiles")
 
 
+def test_retile_rerun_does_not_duplicate_csv(tmp_path):
+    """Rerunning into the same dir truncates locations.csv (ADVICE r3);
+    append_csv=True keeps appending for multi-source runs."""
+    scene = tmp_path / "s.tif"
+    _write_scene(scene, 64, 64)
+    out = tmp_path / "tiles"
+    retile(scene, out, tile_size=32)
+    retile(scene, out, tile_size=32)  # rerun: fresh CSV, not 8 rows
+    rows = (out / "locations.csv").read_text().strip().splitlines()
+    assert len(rows) == 4
+
+    scene2 = tmp_path / "s2.tif"
+    _write_scene(scene2, 32, 32, seed=1)
+    retile(scene2, out, tile_size=32, append_csv=True)
+    rows = (out / "locations.csv").read_text().strip().splitlines()
+    assert len(rows) == 5
+
+
+def test_mosaic_rejects_misaligned_tile(tmp_path):
+    """A tile whose origin is off the shared grid fails with a clear
+    diagnostic instead of a numpy broadcast error (ADVICE r3)."""
+    a = tmp_path / "a.tif"
+    _write_scene(a, 32, 32)
+    b = tmp_path / "b.tif"
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 255, size=(32, 32), dtype=np.uint8)
+    info = TiffImagePlugin.ImageFileDirectory_v2()
+    info[33550] = (PX, PX, 0.0)
+    # origin shifted by 0.4 px east of the grid a.tif sits on
+    info[33922] = (0.0, 0.0, 0.0, X0 + 32 * PX + 0.4 * PX, Y0, 0.0)
+    Image.fromarray(data).save(str(b), format="TIFF", tiffinfo=info)
+    with pytest.raises(ValueError, match="not on the shared pixel grid"):
+        merge_tiles([a, b], tmp_path / "m.tif")
+
+
+def test_mosaic_rejects_unsupported_pil_mode(tmp_path):
+    """PIL-backend header scan raises on modes it cannot dtype-map rather
+    than silently placing them as uint8 (ADVICE r3)."""
+    p = tmp_path / "cmyk.tif"
+    info = TiffImagePlugin.ImageFileDirectory_v2()
+    info[33550] = (PX, PX, 0.0)
+    info[33922] = (0.0, 0.0, 0.0, X0, Y0, 0.0)
+    Image.new("CMYK", (8, 8)).save(str(p), format="TIFF", tiffinfo=info)
+    with pytest.raises(ValueError, match="unsupported PIL mode"):
+        merge_tiles([p], tmp_path / "m.tif")
+
+
 def test_retile_cli(tmp_path):
     import scripts.retile as rt
 
