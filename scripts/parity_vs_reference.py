@@ -1,0 +1,415 @@
+#!/usr/bin/env python
+"""One-command parity harness against the reference PyTorch checkpoint.
+
+The north-star accuracy claim (BASELINE.json: dice within ±0.002 of the
+reference checkpoint) is unprovable until the DVC artifact behind
+/root/reference/checkpoints/bestmodel.ckpt.dvc:1-4 is present. This script
+makes it a single command the moment it appears:
+
+    torch .ckpt → convert (models/convert.py) → native checkpoint →
+    JaxInference → dice / argmax agreement on real samples → PROOFS JSON
+
+Input data, one of:
+
+- ``--shard X.tar [Y.tar ...]``: WebDataset-style shards with
+  ``rgbn.tif`` + ``mask.tif`` members (the reference's training/test
+  shards, deadtreedata.py:277);
+- ``--scene S.tif --mask M.tif``: a georeferenced orthophoto + its
+  ground-truth mask raster, run through the Tiler
+  (reference scripts/inference.py:16-115).
+
+Optional oracles:
+
+- ``--reference-pred P.tif``: the reference's own predicted raster for
+  the same scene (e.g. a DVC ``predicted.trees.*`` tile) → pixelwise
+  argmax agreement between the frameworks, the strongest parity signal;
+- ``--expect-dice D [--tol 0.002]``: the dice the reference model scores
+  on the same data → exit non-zero when |dice - D| > tol.
+
+Checkpoint handling: the Lightning artifact is loaded with
+``weights_only=True`` (untrusted public blob — no code-executing
+unpickling, models/convert.py:load_torch_state_dict). Network geometry is
+sniffed from tensor shapes (stem/head kernels, block count) with CLI
+overrides; the model of record (efficientunet++/timm-efficientnet-b5,
+decoder 256..16, reference configs/model/default.yaml:4-9) is the default.
+
+Known-runnable: tests/test_parity_harness.py drives this end-to-end
+against a locally created Lightning-format checkpoint of the re-stated
+torch flagship (tests/test_convert_flagship.py), so the harness is proven
+before the real artifact lands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+log = logging.getLogger("parity_vs_reference")
+
+
+# ---------------------------------------------------------------------------
+# geometry sniffing
+# ---------------------------------------------------------------------------
+
+def sniff_network(sd: dict) -> dict:
+    """Infer the network geometry from state-dict tensor shapes.
+
+    Works on the reference's key scheme (``model.`` prefix optional):
+    ``encoder.conv_stem.weight`` (timm efficientnet) or ``encoder.conv1.
+    weight`` (resnet); ``segmentation_head.0.weight`` for classes and the
+    last decoder width. EfficientNet variant is identified by matching the
+    total MBConv block count against the B0..B7 repeat table — exact, since
+    consecutive variants always differ in depth_mult-rounded repeats.
+    """
+    from deadtrees_tpu.models.encoders import (
+        _EFFNET_BASE,
+        _EFFNET_PARAMS,
+        _round_repeats,
+    )
+
+    keys = set(sd.keys())
+    pref = ""
+    for p in ("model.", ""):
+        if any(k.startswith(p + "encoder.") for k in keys):
+            pref = p
+            break
+
+    out: dict = {"architecture": None, "encoder_name": None}
+    stem_key = f"{pref}encoder.conv_stem.weight"
+    if stem_key in keys:
+        out["in_channels"] = int(np.asarray(sd[stem_key]).shape[1])
+        n_blocks = len(
+            {
+                k.split(f"{pref}encoder.blocks.")[1].split(".")[0]
+                + "."
+                + k.split(f"{pref}encoder.blocks.")[1].split(".")[1]
+                for k in keys
+                if k.startswith(f"{pref}encoder.blocks.")
+            }
+        )
+        for name, (_w, d) in _EFFNET_PARAMS.items():
+            expect = sum(_round_repeats(n, d) for (_t, _c, n, _s, _k) in _EFFNET_BASE)
+            if expect == n_blocks:
+                out["encoder_name"] = f"timm-{name}"
+                break
+        if out["encoder_name"] is None:
+            raise ValueError(
+                f"efficientnet block count {n_blocks} matches no B0..B7 variant"
+            )
+    elif f"{pref}encoder.conv1.weight" in keys:
+        out["in_channels"] = int(np.asarray(sd[f"{pref}encoder.conv1.weight"]).shape[1])
+        n_blocks = len(
+            {
+                k.split(f"{pref}encoder.layer")[1].split(".")[0]
+                + "."
+                + k.split(f"{pref}encoder.layer")[1].split(".")[1]
+                for k in keys
+                if k.startswith(f"{pref}encoder.layer")
+            }
+        )
+        out["encoder_name"] = {8: "resnet18", 16: "resnet34"}.get(n_blocks)
+        if out["encoder_name"] is None:
+            raise ValueError(f"resnet block count {n_blocks} matches neither 18 nor 34")
+    else:
+        raise ValueError(
+            "state dict has neither encoder.conv_stem.weight (efficientnet) "
+            "nor encoder.conv1.weight (resnet) — unknown checkpoint layout"
+        )
+
+    head_key = f"{pref}segmentation_head.0.weight"
+    if head_key in keys:
+        hw = np.asarray(sd[head_key]).shape  # (classes, dec_last, 3, 3)
+        out["classes"] = int(hw[0])
+        out["head_in"] = int(hw[1])
+    if any(k.startswith(f"{pref}decoder.blocks.") for k in keys):
+        out["architecture"] = "efficientunet++"
+    return out
+
+
+def _effnet_mults(encoder_name: str):
+    from deadtrees_tpu.models.encoders import _EFFNET_PARAMS
+
+    key = encoder_name.replace("timm-", "")
+    if key not in _EFFNET_PARAMS:
+        raise ValueError(f"not an efficientnet encoder: {encoder_name}")
+    return _EFFNET_PARAMS[key]
+
+
+def convert_reference_checkpoint(
+    torch_ckpt: Path,
+    *,
+    architecture: str = None,
+    encoder_name: str = None,
+    decoder_channels=(256, 128, 64, 32, 16),
+) -> tuple:
+    """Load + convert the Lightning checkpoint → (variables, hparams)."""
+    from deadtrees_tpu.models.convert import (
+        convert_effunetpp_checkpoint,
+        load_torch_state_dict,
+    )
+
+    sd = load_torch_state_dict(torch_ckpt)
+    sniffed = sniff_network(sd)
+    architecture = architecture or sniffed["architecture"] or "efficientunet++"
+    encoder_name = encoder_name or sniffed["encoder_name"]
+    decoder_channels = tuple(decoder_channels)
+    if "head_in" in sniffed and sniffed["head_in"] != decoder_channels[-1]:
+        raise ValueError(
+            f"segmentation head expects {sniffed['head_in']} input channels "
+            f"but decoder_channels end in {decoder_channels[-1]} — pass "
+            f"--decoder-channels matching the checkpoint"
+        )
+
+    hparams = dict(
+        architecture=architecture,
+        encoder_name=encoder_name,
+        in_channels=sniffed["in_channels"],
+        classes=sniffed.get("classes", 3),
+        decoder_channels=list(decoder_channels),
+    )
+    log.info("sniffed network: %s", hparams)
+
+    if architecture not in ("efficientunet++", "efficientunetplusplus"):
+        raise NotImplementedError(
+            f"parity conversion currently covers the model of record "
+            f"(efficientunet++); got {architecture}. The per-family "
+            f"converters in models/convert.py can be wired here when a "
+            f"non-flagship reference checkpoint exists."
+        )
+    w, d = _effnet_mults(encoder_name)
+    variables = convert_effunetpp_checkpoint(sd, width_mult=w, depth_mult=d)
+    return variables, hparams
+
+
+# ---------------------------------------------------------------------------
+# scoring
+# ---------------------------------------------------------------------------
+
+def _dice_stats(pred: np.ndarray, target: np.ndarray, classes: int) -> dict:
+    """Dice (MONAI-style, with/without background) + per-class agreement
+    from integer class maps of identical shape."""
+    import jax.numpy as jnp
+
+    from deadtrees_tpu.losses.functional import class2one_hot
+    from deadtrees_tpu.losses.metrics import confusion_matrix, dice_score
+
+    if pred.ndim == 2:
+        pred = pred[None]
+        target = target[None]
+    # class2one_hot is channel-last (B, H, W, K), matching the metrics
+    p1 = class2one_hot(jnp.asarray(pred.astype(np.int32)), classes)
+    t1 = class2one_hot(jnp.asarray(target.astype(np.int32)), classes)
+    cm = np.asarray(
+        confusion_matrix(jnp.asarray(pred), jnp.asarray(target), num_classes=classes)
+    )
+    return {
+        "dice": float(dice_score(p1, t1)),
+        "dice_no_bg": float(dice_score(p1, t1, include_background=False)),
+        "pixel_accuracy": float((pred == target).mean()),
+        "confusion_matrix": cm.astype(int).tolist(),
+    }
+
+
+def score_on_shards(engine, shards, classes: int, limit: int, batch: int) -> dict:
+    from deadtrees_tpu.data.tar import make_sample_stream
+
+    stream = make_sample_stream([str(s) for s in shards], raw=True)
+    preds, targets = [], []
+    n = 0
+    buf = []
+    for sample in stream:
+        buf.append(sample)
+        n += 1
+        if len(buf) == batch:
+            _flush(engine, buf, preds, targets)
+            buf = []
+        if limit and n >= limit:
+            break
+    if buf:
+        _flush(engine, buf, preds, targets)
+    if not preds:
+        raise ValueError(f"no samples found in {list(map(str, shards))}")
+    pred = np.stack(preds)
+    target = np.stack(targets)
+    out = _dice_stats(pred, target, classes)
+    out["n_samples"] = int(pred.shape[0])
+    return out
+
+
+def _flush(engine, raw_samples, preds, targets) -> None:
+    from deadtrees_tpu.data.tar import materialize_samples
+
+    decoded = materialize_samples(raw_samples)
+    imgs = np.stack([s["image"] for s in decoded])
+    masks = [np.asarray(s["mask"]) for s in decoded]
+    out = np.asarray(engine.run(imgs))
+    for i in range(out.shape[0]):
+        preds.append(out[i])
+        targets.append(masks[i].squeeze())
+
+
+def score_on_scene(model, variables, scene_path, mask_path, classes: int,
+                   subtile: int, batch: int) -> dict:
+    from deadtrees_tpu.infer.geotiff import read_geotiff
+    from deadtrees_tpu.infer.sliding import predict_scene
+
+    scene = np.asarray(read_geotiff(scene_path).data)
+    if scene.ndim == 2:
+        scene = scene[..., None]
+    # smallest subtile-aligned tile covering the scene (caps padding waste)
+    tile = tuple(
+        max(subtile, -(-d // subtile) * subtile) for d in scene.shape[:2]
+    )
+    pred = predict_scene(
+        model, variables, scene, subtile=subtile, batch_size=batch,
+        tile_shape=tile,
+    )
+    out = {"scene": str(scene_path), "pred_shape": list(pred.shape)}
+    if mask_path:
+        mask = np.squeeze(np.asarray(read_geotiff(mask_path).data))
+        out.update(_dice_stats(pred, mask.astype(pred.dtype), classes))
+    out["_pred"] = pred
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--torch-ckpt", type=Path, required=True,
+                    help="reference Lightning checkpoint (bestmodel.ckpt)")
+    ap.add_argument("--shard", type=Path, nargs="*", default=[],
+                    help="tar shard(s) with rgbn.tif + mask.tif samples")
+    ap.add_argument("--scene", type=Path, default=None,
+                    help="orthophoto GeoTIFF to run through the Tiler")
+    ap.add_argument("--mask", type=Path, default=None,
+                    help="ground-truth mask raster for --scene")
+    ap.add_argument("--reference-pred", type=Path, default=None,
+                    help="the reference's predicted raster for --scene "
+                         "(argmax agreement between the frameworks)")
+    ap.add_argument("--architecture", default=None)
+    ap.add_argument("--encoder", dest="encoder_name", default=None)
+    ap.add_argument("--decoder-channels", type=int, nargs="+",
+                    default=[256, 128, 64, 32, 16])
+    ap.add_argument("--subtile", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--limit", type=int, default=0,
+                    help="cap shard samples scored (0 = all)")
+    ap.add_argument("--save-converted", type=Path, default=None,
+                    help="also write the converted native checkpoint here")
+    ap.add_argument("--expect-dice", type=float, default=None,
+                    help="reference model's dice on the same data")
+    ap.add_argument("--tol", type=float, default=0.002,
+                    help="north-star tolerance for --expect-dice")
+    ap.add_argument("--out", type=Path,
+                    default=REPO / "PROOFS" / "parity_vs_reference.json")
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    if not args.shard and not args.scene:
+        ap.error("need --shard and/or --scene")
+
+    t0 = time.time()
+    variables, hparams = convert_reference_checkpoint(
+        args.torch_ckpt,
+        architecture=args.architecture,
+        encoder_name=args.encoder_name,
+        decoder_channels=args.decoder_channels,
+    )
+
+    import jax.numpy as jnp
+
+    from deadtrees_tpu.core import save_checkpoint
+    from deadtrees_tpu.infer.engine import JaxInference
+    from deadtrees_tpu.models import create_model
+
+    converted = args.save_converted
+    if converted is None:
+        converted = args.out.parent / (args.torch_ckpt.stem + "_converted.ckpt")
+    converted.parent.mkdir(parents=True, exist_ok=True)
+    save_checkpoint(
+        converted,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        hparams=hparams,
+        extra={"source": str(args.torch_ckpt), "converter": "parity_vs_reference"},
+    )
+    log.info("converted checkpoint -> %s (%.1fs)", converted, time.time() - t0)
+
+    report = {
+        "torch_ckpt": str(args.torch_ckpt),
+        "converted_ckpt": str(converted),
+        "hparams": hparams,
+        "tolerance": args.tol,
+    }
+    classes = hparams["classes"]
+
+    if args.shard:
+        engine = JaxInference(converted)
+        report["shards"] = score_on_shards(
+            engine, args.shard, classes, args.limit, args.batch
+        )
+        log.info("shard dice=%.4f (no-bg %.4f) over %d samples",
+                 report["shards"]["dice"], report["shards"]["dice_no_bg"],
+                 report["shards"]["n_samples"])
+
+    if args.scene:
+        model = create_model(**hparams, dtype=jnp.float32)
+        scene_report = score_on_scene(
+            model, variables, args.scene, args.mask, classes,
+            args.subtile, args.batch,
+        )
+        pred = scene_report.pop("_pred")
+        if args.reference_pred:
+            from deadtrees_tpu.infer.geotiff import read_geotiff
+
+            ref = np.squeeze(np.asarray(read_geotiff(args.reference_pred).data))
+            if ref.shape != pred.shape:
+                raise ValueError(
+                    f"reference prediction {ref.shape} != ours {pred.shape}"
+                )
+            agree = _dice_stats(pred, ref.astype(pred.dtype), classes)
+            scene_report["vs_reference_pred"] = {
+                "argmax_agreement": agree["pixel_accuracy"],
+                "dice_between_frameworks": agree["dice"],
+            }
+            log.info("argmax agreement vs reference prediction: %.6f",
+                     agree["pixel_accuracy"])
+        report["scene"] = scene_report
+
+    status = "ok"
+    primary = None
+    if args.shard:
+        primary = report["shards"]["dice"]
+    elif args.mask:
+        primary = report["scene"].get("dice")
+    if args.expect_dice is not None and primary is not None:
+        delta = abs(primary - args.expect_dice)
+        report["expect_dice"] = args.expect_dice
+        report["dice_delta"] = delta
+        status = "ok" if delta <= args.tol else "FAIL"
+        log.info("dice delta vs reference: %.4f (tol %.4f) -> %s",
+                 delta, args.tol, status)
+    report["status"] = status
+    report["elapsed_s"] = round(time.time() - t0, 1)
+
+    args.out.parent.mkdir(parents=True, exist_ok=True)
+    args.out.write_text(json.dumps(report, indent=2))
+    print(json.dumps({k: v for k, v in report.items()
+                      if k not in ("confusion_matrix",)}, indent=2))
+    return 0 if status == "ok" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

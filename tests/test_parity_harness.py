@@ -1,0 +1,169 @@
+"""parity_vs_reference harness: known-runnable before the real artifact.
+
+VERDICT r3 item 1a: the repo must have a single command that runs the
+real-checkpoint parity the moment the DVC artifact
+(/root/reference/checkpoints/bestmodel.ckpt.dvc:1-4) appears. These tests
+drive scripts/parity_vs_reference.py end-to-end against a locally created
+Lightning-format checkpoint of the re-stated torch flagship
+(tests/test_convert_flagship.py), so every stage — weights_only load,
+geometry sniff, conversion, native-checkpoint save, JaxInference scoring,
+PROOFS JSON, tolerance gate — is proven runnable.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from scripts.parity_vs_reference import main, sniff_network  # noqa: E402
+from tests.test_convert_flagship import DEC_CH, _torch_flagship  # noqa: E402
+from tests.test_data import _write_shard  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def lightning_ckpt(tmp_path_factory):
+    """A Lightning-format checkpoint (state_dict under ``model.`` prefix,
+    like SemSegment's save) of the re-stated b0-geometry flagship."""
+    torch.manual_seed(3)
+    tmodel = _torch_flagship().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.3)
+    sd = {f"model.{k}": v for k, v in tmodel.state_dict().items()}
+    path = tmp_path_factory.mktemp("ref") / "bestmodel.ckpt"
+    torch.save({"state_dict": sd, "epoch": 277, "global_step": 1}, str(path))
+    return path
+
+
+def test_sniff_network_flagship(lightning_ckpt):
+    from deadtrees_tpu.models.convert import load_torch_state_dict
+
+    sd = load_torch_state_dict(lightning_ckpt)
+    s = sniff_network(sd)
+    assert s["encoder_name"] == "timm-efficientnet-b0"
+    assert s["architecture"] == "efficientunet++"
+    assert s["in_channels"] == 4
+    assert s["classes"] == 3
+    assert s["head_in"] == DEC_CH[-1]
+
+
+def test_sniff_network_rejects_unknown_layout():
+    with pytest.raises(ValueError, match="unknown checkpoint layout"):
+        sniff_network({"model.foo.weight": np.zeros((1, 1))})
+
+
+def test_harness_end_to_end_on_shard(lightning_ckpt, tmp_path):
+    shard = tmp_path / "test-000000.tar"
+    _write_shard(shard, 6, size=32, seed=11)
+    out = tmp_path / "parity.json"
+    converted = tmp_path / "converted.ckpt"
+
+    rc = main([
+        "--torch-ckpt", str(lightning_ckpt),
+        "--shard", str(shard),
+        "--decoder-channels", *[str(c) for c in DEC_CH],
+        "--batch", "3",
+        "--save-converted", str(converted),
+        "--out", str(out),
+    ])
+    assert rc == 0
+    assert converted.exists()
+    report = json.loads(out.read_text())
+    assert report["status"] == "ok"
+    assert report["hparams"]["encoder_name"] == "timm-efficientnet-b0"
+    assert report["shards"]["n_samples"] == 6
+    assert 0.0 <= report["shards"]["dice"] <= 1.0
+    cm = np.asarray(report["shards"]["confusion_matrix"])
+    assert cm.sum() == 6 * 32 * 32
+
+    # the converted checkpoint must itself be loadable by the engine stack
+    from deadtrees_tpu.core.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(converted)
+    assert ckpt["hparams"]["architecture"] == "efficientunet++"
+    assert ckpt["extra"]["converter"] == "parity_vs_reference"
+
+    # tolerance gate: matching expectation passes, a far-off one fails
+    rc = main([
+        "--torch-ckpt", str(lightning_ckpt),
+        "--shard", str(shard),
+        "--decoder-channels", *[str(c) for c in DEC_CH],
+        "--batch", "3",
+        "--save-converted", str(converted),
+        "--out", str(out),
+        "--expect-dice", str(report["shards"]["dice"]),
+    ])
+    assert rc == 0
+    assert json.loads(out.read_text())["dice_delta"] <= 1e-6
+
+    rc = main([
+        "--torch-ckpt", str(lightning_ckpt),
+        "--shard", str(shard),
+        "--decoder-channels", *[str(c) for c in DEC_CH],
+        "--batch", "3",
+        "--save-converted", str(converted),
+        "--out", str(out),
+        "--expect-dice", str(min(1.0, report["shards"]["dice"] + 0.5)),
+    ])
+    assert rc == 1
+    assert json.loads(out.read_text())["status"] == "FAIL"
+
+
+def test_harness_scene_mode_with_reference_pred(lightning_ckpt, tmp_path):
+    """Scene path: Tiler prediction + mask dice + cross-prediction
+    agreement. The 'reference prediction' raster is generated with the
+    converted model itself, so the agreement plumbing must report 1.0."""
+    import jax.numpy as jnp
+
+    from deadtrees_tpu.infer.geotiff import write_geotiff
+    from deadtrees_tpu.infer.sliding import predict_scene
+    from deadtrees_tpu.models import create_model
+    from scripts.parity_vs_reference import convert_reference_checkpoint
+
+    rng = np.random.default_rng(7)
+    scene = rng.integers(0, 255, (64, 64, 4), dtype=np.uint8)
+    mask = rng.integers(0, 3, (64, 64), dtype=np.uint8)
+    geo = {
+        "backend": "pil",
+        "tags": {33550: (0.2, 0.2, 0.0),
+                 33922: (0.0, 0.0, 0.0, 500000.0, 5400000.0, 0.0)},
+    }
+    scene_p = tmp_path / "scene.tif"
+    mask_p = tmp_path / "mask.tif"
+    write_geotiff(scene_p, scene, geo)
+    write_geotiff(mask_p, mask, geo)
+
+    variables, hparams = convert_reference_checkpoint(
+        lightning_ckpt, decoder_channels=DEC_CH
+    )
+    model = create_model(**hparams, dtype=jnp.float32)
+    ref_pred = predict_scene(
+        model, variables, scene, subtile=32, batch_size=4,
+        tile_shape=(64, 64),
+    ).astype(np.uint8)
+    ref_p = tmp_path / "ref_pred.tif"
+    write_geotiff(ref_p, ref_pred, geo)
+
+    out = tmp_path / "parity_scene.json"
+    rc = main([
+        "--torch-ckpt", str(lightning_ckpt),
+        "--scene", str(scene_p),
+        "--mask", str(mask_p),
+        "--reference-pred", str(ref_p),
+        "--decoder-channels", *[str(c) for c in DEC_CH],
+        "--subtile", "32",
+        "--batch", "4",
+        "--save-converted", str(tmp_path / "c.ckpt"),
+        "--out", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    scene_rep = report["scene"]
+    assert scene_rep["pred_shape"] == [64, 64]
+    assert 0.0 <= scene_rep["dice"] <= 1.0
+    vs = scene_rep["vs_reference_pred"]
+    assert vs["argmax_agreement"] == pytest.approx(1.0)
