@@ -199,12 +199,37 @@ def _round_repeats(repeats: int, depth_mult: float) -> int:
     return int(math.ceil(depth_mult * repeats))
 
 
+def _tf_same_pads(
+    shape: Tuple[int, ...], kernel: int, stride: int
+) -> List[Tuple[int, int]]:
+    """TF-'SAME' asymmetric padding per spatial dim (shape is (B,H,W,C)).
+
+    ``out = ceil(in/s)``; total pad ``(out-1)*s + k - in`` split low-first
+    — e.g. k=3 s=2 on even input pads (0, 1) where torch static pads (1, 1).
+    Identical to static k//2 padding whenever stride is 1 and k is odd.
+    """
+    pads = []
+    for d in shape[1:3]:
+        out = -(-d // stride)
+        total = max((out - 1) * stride + kernel - d, 0)
+        pads.append((total // 2, total - total // 2))
+    return pads
+
+
 class MBConv(nn.Module):
     """EfficientNet mobile inverted bottleneck block with SE.
 
     expand(1×1) → BN → SiLU → depthwise(k×k, stride) → BN → SiLU →
     SE(ratio 0.25 of block input) → project(1×1) → BN; residual when
-    stride 1 and shapes match. BN epsilon 1e-3 (torch/timm EfficientNet).
+    stride 1 and shapes match.
+
+    ``bn_eps``/``pad_type`` select between the two candidate conventions
+    for the reference's smp timm-efficientnet construction (the encoder
+    source is absent from /root/reference — see docs/encoder_audit.md):
+    torch-static padding vs TF-'SAME' asymmetric padding at stride 2, and
+    BN epsilon 1e-3 (efficientnet-pytorch / timm tf_ variants) vs 1e-5
+    (timm non-tf torch default). scripts/parity_vs_reference.py resolves
+    the pair empirically against the real checkpoint.
     """
 
     features: int
@@ -212,6 +237,8 @@ class MBConv(nn.Module):
     strides: int
     expand_ratio: int
     se_ratio: float = 0.25
+    bn_eps: float = 1e-3
+    pad_type: str = "static"  # "static" (torch k//2) | "same" (TF asym)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -220,7 +247,7 @@ class MBConv(nn.Module):
         in_ch = x.shape[-1]
         mid = in_ch * self.expand_ratio
         norm = lambda: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-3,
+            use_running_average=not train, momentum=0.9, epsilon=self.bn_eps,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
 
@@ -233,11 +260,15 @@ class MBConv(nn.Module):
             h = norm()(h)
             h = jax.nn.silu(h)
 
-        pad = self.kernel_size // 2
+        if self.pad_type == "same":
+            pads = _tf_same_pads(h.shape, self.kernel_size, self.strides)
+        else:
+            pad = self.kernel_size // 2
+            pads = [(pad, pad), (pad, pad)]  # torch static k//2 padding
         h = nn.Conv(
             mid, (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
-            padding=[(pad, pad), (pad, pad)],  # torch static k//2 padding
+            padding=pads,
             feature_group_count=mid, use_bias=False,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )(h)
@@ -274,6 +305,8 @@ class EfficientNetEncoder(nn.Module):
 
     width_mult: float
     depth_mult: float
+    bn_eps: float = 1e-3
+    pad_type: str = "static"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -281,13 +314,17 @@ class EfficientNetEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         features = [x]
         stem = _round_channels(32, self.width_mult)
-        # torch-style symmetric (1,1) padding, not XLA "SAME" (0,1) at stride 2
+        if self.pad_type == "same":
+            stem_pads = _tf_same_pads(x.shape, 3, 2)
+        else:
+            # torch static (1,1), not XLA "SAME" (0,1) at stride 2
+            stem_pads = [(1, 1), (1, 1)]
         h = nn.Conv(
-            stem, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)], use_bias=False,
+            stem, (3, 3), strides=(2, 2), padding=stem_pads, use_bias=False,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )(x)
         h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-3,
+            use_running_average=not train, momentum=0.9, epsilon=self.bn_eps,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )(h)
         h = jax.nn.silu(h)
@@ -303,6 +340,7 @@ class EfficientNetEncoder(nn.Module):
                     out_ch, kernel_size=k,
                     strides=s if i == 0 else 1,
                     expand_ratio=t,
+                    bn_eps=self.bn_eps, pad_type=self.pad_type,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                 )(h, train)
             if stage_idx in taps:
@@ -346,9 +384,10 @@ ENCODERS = {
 for _name, (_w, _d) in _EFFNET_PARAMS.items():
     ENCODERS[_name] = {
         "builder": (
-            lambda dtype, param_dtype, name=None, w=_w, d=_d: EfficientNetEncoder(
+            lambda dtype, param_dtype, name=None, w=_w, d=_d, **opts:
+            EfficientNetEncoder(
                 width_mult=w, depth_mult=d, dtype=dtype, param_dtype=param_dtype,
-                name=name,
+                name=name, **opts,
             )
         ),
         "out_channels": _effnet_out_channels(_w),
@@ -365,6 +404,7 @@ def get_encoder(
     dtype: Dtype = jnp.float32,
     param_dtype: Dtype = jnp.float32,
     module_name: Optional[str] = None,
+    **encoder_options,
 ) -> Tuple[nn.Module, Tuple[int, ...]]:
     """Build an encoder module + its ``out_channels`` tuple.
 
@@ -372,6 +412,11 @@ def get_encoder(
     ``weights`` may be None, "imagenet" (warns: no egress — random init unless
     a converted file is supplied via the checkpoint loader), or a path handled
     upstream by :mod:`deadtrees_tpu.models.convert`.
+
+    ``encoder_options`` (e.g. ``bn_eps``/``pad_type``) are forwarded to the
+    EfficientNet family for the forward-convention ambiguity documented in
+    docs/encoder_audit.md; ResNet builders reject them (no ambiguity there:
+    torchvision conventions are fully determined).
     """
     key = name.lower().strip()
     if key not in ENCODERS:
@@ -386,4 +431,5 @@ def get_encoder(
         )
     entry = ENCODERS[key]
     out_channels = (in_channels,) + tuple(entry["out_channels"][1:])
-    return entry["builder"](dtype, param_dtype, module_name), out_channels
+    opts = {k: v for k, v in encoder_options.items() if v is not None}
+    return entry["builder"](dtype, param_dtype, module_name, **opts), out_channels

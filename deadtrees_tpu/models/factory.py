@@ -66,6 +66,10 @@ class SegmentationModel(nn.Module):
     decoder_attention_type: Optional[str] = None
     squeeze_ratio: int = 1
     expansion_ratio: int = 1
+    # EfficientNet forward-convention selectors (None = family default);
+    # see docs/encoder_audit.md and scripts/parity_vs_reference.py
+    encoder_bn_eps: Optional[float] = None
+    encoder_pad_type: Optional[str] = None
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -87,6 +91,8 @@ class SegmentationModel(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             module_name="encoder",
+            bn_eps=self.encoder_bn_eps,
+            pad_type=self.encoder_pad_type,
         )
         features = encoder(x, train and encoder_train)
 
@@ -142,6 +148,8 @@ def create_model(
     in_channels: int = 4,
     classes: int = 3,
     decoder_attention_type: Optional[str] = None,
+    encoder_bn_eps: Optional[float] = None,
+    encoder_pad_type: Optional[str] = None,
     dtype: Dtype = jnp.bfloat16,
     param_dtype: Dtype = jnp.float32,
     **_ignored,
@@ -169,6 +177,8 @@ def create_model(
         in_channels=in_channels,
         classes=classes,
         decoder_attention_type=decoder_attention_type,
+        encoder_bn_eps=encoder_bn_eps,
+        encoder_pad_type=encoder_pad_type,
         dtype=dtype,
         param_dtype=param_dtype,
     )

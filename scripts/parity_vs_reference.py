@@ -44,6 +44,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import re
 import sys
 import time
 from pathlib import Path
@@ -144,6 +145,57 @@ def _effnet_mults(encoder_name: str):
     return _EFFNET_PARAMS[key]
 
 
+# Key patterns the converter consumes (or knowingly ignores). Anything in
+# the state dict matching NONE of these is surfaced as a layout surprise —
+# the "silently dropped weights" failure mode for the real artifact.
+_CONSUMED_KEY_PATTERNS = [
+    r"^encoder\.conv_stem\.weight$",
+    r"^encoder\.bn1\.(weight|bias|running_mean|running_var)$",
+    r"^encoder\.conv1\.weight$",  # resnet stem
+    r"^encoder\.layer\d+\.\d+\.",  # resnet blocks
+    r"^encoder\.blocks\.\d+\.\d+\.(conv_pw|conv_dw|conv_pwl)\.weight$",
+    r"^encoder\.blocks\.\d+\.\d+\.bn[123]\.(weight|bias|running_mean|running_var)$",
+    r"^encoder\.blocks\.\d+\.\d+\.se\.conv_(reduce|expand)\.(weight|bias)$",
+    r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.block\.[013478]\.",
+    r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.block\.6\.[cs]SE\.",
+    r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.skip_conv\.[01]\.",
+    r"^segmentation_head\.0\.(weight|bias)$",
+]
+_IGNORED_KEY_PATTERNS = [
+    r"num_batches_tracked$",           # torch BN step counters
+    r"^encoder\.conv_head\.",          # timm classifier head (unused by smp
+    r"^encoder\.bn2\.",                # feature extraction past stage 7)
+    r"^encoder\.classifier\.",
+    r"^encoder\.fc\.",                 # torchvision resnet classifier
+    r"^criterion\.", r"^loss", r"^metrics\.",
+]
+
+
+def audit_state_dict_keys(sd: dict) -> dict:
+    """Classify keys into consumed / ignored / UNRECOGNIZED patterns."""
+    consumed = [re.compile(p) for p in _CONSUMED_KEY_PATTERNS]
+    ignored = [re.compile(p) for p in _IGNORED_KEY_PATTERNS]
+    unknown = []
+    n_consumed = n_ignored = 0
+    for k in sd:
+        if any(p.search(k) for p in ignored):
+            n_ignored += 1
+        elif any(p.search(k) for p in consumed):
+            n_consumed += 1
+        else:
+            unknown.append(k)
+    if unknown:
+        log.warning(
+            "%d state-dict keys match no converter pattern (first 10): %s",
+            len(unknown), unknown[:10],
+        )
+    return {
+        "n_consumed": n_consumed,
+        "n_ignored": n_ignored,
+        "unrecognized_keys": sorted(unknown)[:50],
+    }
+
+
 def convert_reference_checkpoint(
     torch_ckpt: Path,
     *,
@@ -178,6 +230,9 @@ def convert_reference_checkpoint(
     )
     log.info("sniffed network: %s", hparams)
 
+    bare = {k[len("model."):] if k.startswith("model.") else k: None for k in sd}
+    key_audit = audit_state_dict_keys(bare)
+
     if architecture not in ("efficientunet++", "efficientunetplusplus"):
         raise NotImplementedError(
             f"parity conversion currently covers the model of record "
@@ -187,7 +242,7 @@ def convert_reference_checkpoint(
         )
     w, d = _effnet_mults(encoder_name)
     variables = convert_effunetpp_checkpoint(sd, width_mult=w, depth_mult=d)
-    return variables, hparams
+    return variables, hparams, key_audit
 
 
 # ---------------------------------------------------------------------------
@@ -285,6 +340,50 @@ def score_on_scene(model, variables, scene_path, mask_path, classes: int,
 # CLI
 # ---------------------------------------------------------------------------
 
+def _score_conventions(variables, hp, converted, args) -> dict:
+    """Score one forward-convention combination on the requested data."""
+    import jax.numpy as jnp
+
+    from deadtrees_tpu.infer.engine import JaxInference
+    from deadtrees_tpu.models import create_model
+
+    classes = hp["classes"]
+    sub: dict = {}
+    if args.shard:
+        engine = JaxInference(converted)
+        sub["shards"] = score_on_shards(
+            engine, args.shard, classes, args.limit, args.batch
+        )
+        log.info("shard dice=%.4f (no-bg %.4f) over %d samples",
+                 sub["shards"]["dice"], sub["shards"]["dice_no_bg"],
+                 sub["shards"]["n_samples"])
+
+    if args.scene:
+        model = create_model(**hp, dtype=jnp.float32)
+        scene_report = score_on_scene(
+            model, variables, args.scene, args.mask, classes,
+            args.subtile, args.batch,
+        )
+        pred = scene_report.pop("_pred")
+        if args.reference_pred:
+            from deadtrees_tpu.infer.geotiff import read_geotiff
+
+            ref = np.squeeze(np.asarray(read_geotiff(args.reference_pred).data))
+            if ref.shape != pred.shape:
+                raise ValueError(
+                    f"reference prediction {ref.shape} != ours {pred.shape}"
+                )
+            agree = _dice_stats(pred, ref.astype(pred.dtype), classes)
+            scene_report["vs_reference_pred"] = {
+                "argmax_agreement": agree["pixel_accuracy"],
+                "dice_between_frameworks": agree["dice"],
+            }
+            log.info("argmax agreement vs reference prediction: %.6f",
+                     agree["pixel_accuracy"])
+        sub["scene"] = scene_report
+    return sub
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--torch-ckpt", type=Path, required=True,
@@ -308,6 +407,16 @@ def main(argv=None) -> int:
                     help="cap shard samples scored (0 = all)")
     ap.add_argument("--save-converted", type=Path, default=None,
                     help="also write the converted native checkpoint here")
+    ap.add_argument("--bn-eps", type=float, default=None,
+                    help="EfficientNet BN epsilon override (1e-3 or 1e-5; "
+                         "see docs/encoder_audit.md)")
+    ap.add_argument("--pad-type", choices=("static", "same"), default=None,
+                    help="EfficientNet stride-2 padding convention override")
+    ap.add_argument("--try-conventions", action="store_true",
+                    help="score all 4 bn-eps x pad-type conventions and "
+                         "report which best matches the checkpoint — run "
+                         "this once on the real artifact to resolve the "
+                         "timm construction ambiguity empirically")
     ap.add_argument("--expect-dice", type=float, default=None,
                     help="reference model's dice on the same data")
     ap.add_argument("--tol", type=float, default=0.002,
@@ -321,72 +430,88 @@ def main(argv=None) -> int:
         ap.error("need --shard and/or --scene")
 
     t0 = time.time()
-    variables, hparams = convert_reference_checkpoint(
+    variables, hparams, key_audit = convert_reference_checkpoint(
         args.torch_ckpt,
         architecture=args.architecture,
         encoder_name=args.encoder_name,
         decoder_channels=args.decoder_channels,
     )
 
-    import jax.numpy as jnp
-
     from deadtrees_tpu.core import save_checkpoint
-    from deadtrees_tpu.infer.engine import JaxInference
-    from deadtrees_tpu.models import create_model
 
     converted = args.save_converted
     if converted is None:
         converted = args.out.parent / (args.torch_ckpt.stem + "_converted.ckpt")
     converted.parent.mkdir(parents=True, exist_ok=True)
-    save_checkpoint(
-        converted,
-        params=variables["params"],
-        batch_stats=variables["batch_stats"],
-        hparams=hparams,
-        extra={"source": str(args.torch_ckpt), "converter": "parity_vs_reference"},
-    )
-    log.info("converted checkpoint -> %s (%.1fs)", converted, time.time() - t0)
+
+    if args.try_conventions:
+        combos = [(e, p) for e in (1e-3, 1e-5) for p in ("static", "same")]
+    else:
+        combos = [(args.bn_eps, args.pad_type)]
 
     report = {
         "torch_ckpt": str(args.torch_ckpt),
         "converted_ckpt": str(converted),
         "hparams": hparams,
+        "key_audit": key_audit,
         "tolerance": args.tol,
     }
-    classes = hparams["classes"]
-
-    if args.shard:
-        engine = JaxInference(converted)
-        report["shards"] = score_on_shards(
-            engine, args.shard, classes, args.limit, args.batch
+    convention_reports = {}
+    for bn_eps, pad_type in combos:
+        hp = dict(hparams)
+        if bn_eps is not None:
+            hp["encoder_bn_eps"] = bn_eps
+        if pad_type is not None:
+            hp["encoder_pad_type"] = pad_type
+        save_checkpoint(
+            converted,
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            hparams=hp,
+            extra={"source": str(args.torch_ckpt),
+                   "converter": "parity_vs_reference"},
         )
-        log.info("shard dice=%.4f (no-bg %.4f) over %d samples",
-                 report["shards"]["dice"], report["shards"]["dice_no_bg"],
-                 report["shards"]["n_samples"])
+        sub = _score_conventions(variables, hp, converted, args)
+        convention_reports[f"bn_eps={bn_eps} pad={pad_type}"] = sub
 
-    if args.scene:
-        model = create_model(**hparams, dtype=jnp.float32)
-        scene_report = score_on_scene(
-            model, variables, args.scene, args.mask, classes,
-            args.subtile, args.batch,
+    if args.try_conventions:
+        # rank by agreement with the reference prediction when present,
+        # else by dice against ground truth
+        def _rank(sub):
+            scene = sub.get("scene", {})
+            vs = scene.get("vs_reference_pred", {})
+            return (
+                vs.get("argmax_agreement", -1.0),
+                sub.get("shards", {}).get("dice", scene.get("dice", -1.0)),
+            )
+
+        best = max(convention_reports, key=lambda k: _rank(convention_reports[k]))
+        report["conventions"] = convention_reports
+        report["best_convention"] = best
+        report.update(convention_reports[best])
+        log.info("best-matching convention: %s", best)
+        # leave the converted ckpt on disk in the winning convention
+        hp = dict(hparams)
+        eps_s, pad_s = best.replace("bn_eps=", "").split(" pad=")
+        if eps_s != "None":
+            hp["encoder_bn_eps"] = float(eps_s)
+        if pad_s != "None":
+            hp["encoder_pad_type"] = pad_s
+        save_checkpoint(
+            converted, params=variables["params"],
+            batch_stats=variables["batch_stats"], hparams=hp,
+            extra={"source": str(args.torch_ckpt),
+                   "converter": "parity_vs_reference"},
         )
-        pred = scene_report.pop("_pred")
-        if args.reference_pred:
-            from deadtrees_tpu.infer.geotiff import read_geotiff
-
-            ref = np.squeeze(np.asarray(read_geotiff(args.reference_pred).data))
-            if ref.shape != pred.shape:
-                raise ValueError(
-                    f"reference prediction {ref.shape} != ours {pred.shape}"
-                )
-            agree = _dice_stats(pred, ref.astype(pred.dtype), classes)
-            scene_report["vs_reference_pred"] = {
-                "argmax_agreement": agree["pixel_accuracy"],
-                "dice_between_frameworks": agree["dice"],
-            }
-            log.info("argmax agreement vs reference prediction: %.6f",
-                     agree["pixel_accuracy"])
-        report["scene"] = scene_report
+        report["hparams"] = hp
+    else:
+        only = next(iter(convention_reports.values()))
+        report.update(only)
+        report["hparams"] = hparams if combos == [(None, None)] else {
+            **hparams,
+            **({"encoder_bn_eps": combos[0][0]} if combos[0][0] is not None else {}),
+            **({"encoder_pad_type": combos[0][1]} if combos[0][1] is not None else {}),
+        }
 
     status = "ok"
     primary = None

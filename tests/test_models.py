@@ -209,3 +209,42 @@ def test_partwise_grid_matches_default(monkeypatch, rng):
     got5 = model.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(got5), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_tf_same_pads_math():
+    """TF-'SAME' asymmetric padding helper (docs/encoder_audit.md):
+    low-first split; equals torch static k//2 padding at stride 1 / odd k."""
+    from deadtrees_tpu.models.encoders import _tf_same_pads
+
+    shape = (1, 64, 64, 3)
+    assert _tf_same_pads(shape, 3, 2) == [(0, 1), (0, 1)]
+    assert _tf_same_pads(shape, 5, 2) == [(1, 2), (1, 2)]
+    assert _tf_same_pads(shape, 3, 1) == [(1, 1), (1, 1)]
+    assert _tf_same_pads(shape, 5, 1) == [(2, 2), (2, 2)]
+    assert _tf_same_pads((1, 65, 65, 3), 3, 2) == [(1, 1), (1, 1)]
+
+
+def test_effnet_encoder_conventions_change_forward():
+    """bn_eps/pad_type must change the forward function (else the
+    parity-harness convention sweep would be a no-op) while keeping the
+    parameter tree identical (same converted weights load into all four)."""
+    import jax
+
+    from deadtrees_tpu.models.encoders import EfficientNetEncoder
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 32, 32, 4)).astype(np.float32)
+    )
+    base = EfficientNetEncoder(width_mult=1.0, depth_mult=1.0)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    out_base = base.apply(variables, x, train=False)[-1]
+
+    for kwargs in ({"bn_eps": 1e-5}, {"pad_type": "same"}):
+        variant = EfficientNetEncoder(width_mult=1.0, depth_mult=1.0, **kwargs)
+        ref = jax.tree_util.tree_structure(
+            variant.init(jax.random.PRNGKey(0), x, train=False)
+        )
+        assert ref == jax.tree_util.tree_structure(variables)
+        out = variant.apply(variables, x, train=False)[-1]
+        assert out.shape == out_base.shape
+        assert float(jnp.abs(out - out_base).max()) > 0, kwargs

@@ -137,9 +137,10 @@ def test_harness_scene_mode_with_reference_pred(lightning_ckpt, tmp_path):
     write_geotiff(scene_p, scene, geo)
     write_geotiff(mask_p, mask, geo)
 
-    variables, hparams = convert_reference_checkpoint(
+    variables, hparams, key_audit = convert_reference_checkpoint(
         lightning_ckpt, decoder_channels=DEC_CH
     )
+    assert key_audit["unrecognized_keys"] == []
     model = create_model(**hparams, dtype=jnp.float32)
     ref_pred = predict_scene(
         model, variables, scene, subtile=32, batch_size=4,
@@ -167,3 +168,30 @@ def test_harness_scene_mode_with_reference_pred(lightning_ckpt, tmp_path):
     assert 0.0 <= scene_rep["dice"] <= 1.0
     vs = scene_rep["vs_reference_pred"]
     assert vs["argmax_agreement"] == pytest.approx(1.0)
+
+    # convention sweep: all 4 bn-eps x pad-type combos scored; the
+    # reference prediction came from the default convention (bn_eps 1e-3,
+    # static padding), so the winner must reproduce it exactly
+    out2 = tmp_path / "parity_conventions.json"
+    rc = main([
+        "--torch-ckpt", str(lightning_ckpt),
+        "--scene", str(scene_p),
+        "--reference-pred", str(ref_p),
+        "--decoder-channels", *[str(c) for c in DEC_CH],
+        "--subtile", "32",
+        "--batch", "4",
+        "--try-conventions",
+        "--save-converted", str(tmp_path / "c2.ckpt"),
+        "--out", str(out2),
+    ])
+    assert rc == 0
+    rep2 = json.loads(out2.read_text())
+    assert len(rep2["conventions"]) == 4
+    best = rep2["best_convention"]
+    agree = rep2["conventions"][best]["scene"]["vs_reference_pred"]
+    assert agree["argmax_agreement"] == pytest.approx(1.0)
+    # the winning convention is recorded in the converted ckpt's hparams
+    from deadtrees_tpu.core.checkpoint import load_checkpoint
+
+    hp = load_checkpoint(tmp_path / "c2.ckpt")["hparams"]
+    assert "encoder_bn_eps" in hp and "encoder_pad_type" in hp
