@@ -62,6 +62,8 @@ def _build_payload(
 
 
 def _write_payload(path: Union[str, Path], payload: Dict[str, Any]) -> None:
+    from deadtrees_tpu.core.artifacts import write_pointer
+
     blob = serialization.msgpack_serialize(payload)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -70,6 +72,11 @@ def _write_payload(path: Union[str, Path], payload: Dict[str, Any]) -> None:
         f.write(_MAGIC)
         f.write(blob)
     tmp.replace(path)  # atomic
+    # content-hash pointer (the .dvc-file analogue,
+    # /root/reference/checkpoints/bestmodel.ckpt.dvc:1-4): written right
+    # after the blob while it is still in page cache; on the async path
+    # this runs on the writer thread, off the train loop
+    write_pointer(path)
 
 
 def save_checkpoint(
@@ -136,9 +143,13 @@ class AsyncCheckpointWriter:
         from the train loop directly would race its own (possibly still
         queued) write: the unlink sees no file yet, skips, and the write
         later lands a stale 'best' next to the real one."""
-        self._pending.append(
-            self._pool.submit(lambda p=Path(path): p.unlink(missing_ok=True))
-        )
+        from deadtrees_tpu.core.artifacts import pointer_path
+
+        def _unlink(p=Path(path)):
+            p.unlink(missing_ok=True)
+            pointer_path(p).unlink(missing_ok=True)  # no orphaned pointer
+
+        self._pending.append(self._pool.submit(_unlink))
 
     def wait(self) -> None:
         """Block until every queued write is on disk; re-raise the first
@@ -162,6 +173,12 @@ class AsyncCheckpointWriter:
 
 
 def load_checkpoint(path: Union[str, Path]) -> Dict[str, Any]:
+    from deadtrees_tpu.core.artifacts import maybe_verify
+
+    # integrity gate (VERDICT r3 item 2): when a .dtpu pointer sits next to
+    # the file, a corrupted/replaced artifact fails loudly here instead of
+    # producing silently-wrong predictions downstream
+    maybe_verify(path)
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
@@ -237,7 +254,10 @@ class BestCheckpointKeeper:
                 if delete_fn is not None:
                     delete_fn(self.best_path)
                 elif self.best_path.exists():
+                    from deadtrees_tpu.core.artifacts import pointer_path
+
                     self.best_path.unlink()
+                    pointer_path(self.best_path).unlink(missing_ok=True)
             self.best_path = new_best
             self.best_value = value
             log.info(f"New best {self.monitor}={value:.4f} at {new_best}")

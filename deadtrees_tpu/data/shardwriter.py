@@ -18,9 +18,14 @@ class ShardWriter:
     """``ShardWriter("out/train-%06d.tar", maxcount=32)``; use as a context
     manager, call :meth:`write` per sample."""
 
-    def __init__(self, pattern: str, maxcount: int = 32):
+    def __init__(self, pattern: str, maxcount: int = 32,
+                 write_pointers: bool = True):
+        """``write_pointers`` drops a ``.dtpu`` content-hash pointer next to
+        every finished shard (the .dvc-file analogue — see
+        core/artifacts.py), enabling push/pull + integrity verification."""
         self.pattern = str(pattern)
         self.maxcount = maxcount
+        self.write_pointers = write_pointers
         self.shard_idx = 0
         self.count = 0
         self.total = 0
@@ -40,6 +45,10 @@ class ShardWriter:
         if self._tar is not None:
             self._tar.close()
             self._tar = None
+            if self.write_pointers and self.shards:
+                from deadtrees_tpu.core.artifacts import write_pointer
+
+                write_pointer(self.shards[-1])
 
     def write(self, sample: Dict) -> None:
         if self._tar is None or self.count >= self.maxcount:

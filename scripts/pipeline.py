@@ -12,6 +12,17 @@ and ``requires:`` guards for external tools (gdal_retile.py).
     python scripts/pipeline.py createmasks     # one stage (+deps NOT forced)
     python scripts/pipeline.py --years 2019    # limit foreach stages
     python scripts/pipeline.py --force --dry-run
+
+Artifact versioning (the DVC remote/lock half — core/artifacts.py):
+successful stages record their outputs' sha256 in ``pipeline.lock`` (the
+``dvc.lock`` analogue, /root/reference/dvc.lock:9-18), and
+
+    python scripts/pipeline.py push [PATH ...]   # outs -> content cache
+    python scripts/pipeline.py pull [PATH ...]   # restore from cache
+
+sync artifacts with a content-addressed cache directory (--cache /
+$DEADTREES_CACHE_DIR — a mounted bucket path plays the reference's S3
+remote, .dvc/config:1-11). Default paths: every stage out.
 """
 
 from __future__ import annotations
@@ -28,7 +39,9 @@ from typing import Dict, List
 import yaml
 
 ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
 STATE_FILE = ROOT / ".pipeline_state.json"
+LOCK_FILE = ROOT / "pipeline.lock"
 
 
 def fingerprint(path: Path) -> str:
@@ -79,16 +92,113 @@ def expand_stages(cfg: Dict, years: List[int]) -> List[Dict]:
     return jobs
 
 
+def _out_record(path: Path) -> Dict:
+    """dvc.lock-style out entry: sha256 for files; for directories a
+    manifest hash over the per-file content hashes (DVC's .dir semantic)."""
+    from deadtrees_tpu.core.artifacts import hash_file
+
+    if path.is_file():
+        return {"path": str(path.relative_to(ROOT)),
+                "sha256": hash_file(path), "size": path.stat().st_size}
+    files = sorted(p for p in path.rglob("*") if p.is_file()
+                   and not p.name.endswith(".dtpu"))
+    h = hashlib.sha256()
+    total = 0
+    for f in files:
+        h.update(f"{f.relative_to(path)}:{hash_file(f)}\n".encode())
+        total += f.stat().st_size
+    return {"path": str(path.relative_to(ROOT)), "sha256": h.hexdigest(),
+            "size": total, "nfiles": len(files), "dir": True}
+
+
+def write_lock_entry(job: Dict, stamp: str) -> None:
+    lock = json.loads(LOCK_FILE.read_text()) if LOCK_FILE.exists() else {}
+    lock[job["name"]] = {
+        "cmd": job["cmd"],
+        "deps_stamp": stamp,
+        "outs": [
+            _out_record(ROOT / o) for o in job["outs"] if (ROOT / o).exists()
+        ],
+    }
+    LOCK_FILE.write_text(json.dumps(lock, indent=1, sort_keys=True))
+
+
+def _collect_files(paths: List[Path]) -> List[Path]:
+    out: List[Path] = []
+    for p in paths:
+        if p.is_file() and not p.name.endswith(".dtpu"):
+            out.append(p)
+        elif p.is_dir():
+            out.extend(
+                f for f in sorted(p.rglob("*"))
+                if f.is_file() and not f.name.endswith(".dtpu")
+            )
+    return out
+
+
+def sync_command(cmd: str, paths: List[str], cache_dir: Path,
+                 cfg: Dict, years) -> int:
+    """``push``/``pull`` against the content-addressed cache."""
+    import os
+
+    from deadtrees_tpu.core.artifacts import ArtifactCache, pointer_path
+
+    if not paths:  # default: every stage out
+        paths = sorted({o for j in expand_stages(cfg, years) for o in j["outs"]})
+    targets = [ROOT / p if not Path(p).is_absolute() else Path(p)
+               for p in paths]
+    cache = ArtifactCache(cache_dir)
+    if cmd == "push":
+        files = _collect_files([t for t in targets if t.exists()])
+        if not files:
+            print("push: no artifacts found")
+            return 0
+        results = cache.push(files)
+        n_up = sum(r["uploaded"] for r in results)
+        print(f"pushed {len(results)} artifacts ({n_up} new) -> {cache_dir}")
+        return 0
+    # pull: restore from pointers (next to missing/present artifacts)
+    pointers = []
+    for t in targets:
+        if t.is_dir():
+            pointers.extend(sorted(t.rglob("*.dtpu")))
+        else:
+            p = pointer_path(t)
+            if p.exists():
+                pointers.append(p)
+    if not pointers:
+        print("pull: no .dtpu pointers found for the requested paths")
+        return 1
+    results = cache.pull(pointers)
+    n_restored = sum(r["restored"] for r in results)
+    print(f"pulled {len(results)} artifacts ({n_restored} restored)")
+    return 0
+
+
 def main() -> None:
+    import os
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("stages", nargs="*", help="stage names (default: all)")
+    ap.add_argument("stages", nargs="*",
+                    help="stage names (default: all); or 'push'/'pull' "
+                         "followed by artifact paths")
     ap.add_argument("--years", type=int, nargs="+", default=None)
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--no-lock", action="store_true",
+                    help="skip pipeline.lock content hashing after stages")
+    ap.add_argument("--cache", type=Path,
+                    default=Path(os.environ.get("DEADTREES_CACHE_DIR",
+                                                ROOT / ".dtpu_cache")))
     ap.add_argument("--pipeline", type=Path, default=ROOT / "pipeline.yaml")
     args = ap.parse_args()
 
     cfg = yaml.safe_load(args.pipeline.read_text())
+
+    if args.stages and args.stages[0] in ("push", "pull"):
+        sys.exit(sync_command(args.stages[0], args.stages[1:], args.cache,
+                              cfg, args.years))
+
     jobs = expand_stages(cfg, args.years)
     if args.stages:
         jobs = [j for j in jobs if j["stage"] in args.stages]
@@ -117,6 +227,8 @@ def main() -> None:
             sys.exit(proc.returncode)
         state[job["name"]] = stamp
         STATE_FILE.write_text(json.dumps(state, indent=2))
+        if not args.no_lock:
+            write_lock_entry(job, stamp)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,201 @@
+"""Artifact versioning (VERDICT r3 item 2): pointers, verify, push/pull.
+
+The DVC-half the pipeline runner lacked: content-hash pointer files
+(.dtpu ≙ /root/reference/checkpoints/bestmodel.ckpt.dvc:1-4), a
+content-addressed cache with push/pull (≙ the S3 remote,
+/root/reference/.dvc/config:1-11), integrity verification on checkpoint
+load, and dvc.lock-style stage-output records.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deadtrees_tpu.core.artifacts import (
+    ArtifactCache,
+    hash_file,
+    pointer_path,
+    read_pointer,
+    verify_pointer,
+    write_pointer,
+)
+
+
+def _blob(tmp_path, name="model.bin", data=b"x" * 4096):
+    p = tmp_path / name
+    p.write_bytes(data)
+    return p
+
+
+def test_pointer_round_trip(tmp_path):
+    artifact = _blob(tmp_path)
+    ptr = write_pointer(artifact)
+    assert ptr == pointer_path(artifact) and ptr.name == "model.bin.dtpu"
+    record = read_pointer(ptr)
+    assert record["size"] == 4096
+    assert record["sha256"] == hash_file(artifact)
+    assert verify_pointer(artifact)["sha256"] == record["sha256"]
+
+
+def test_verify_detects_corruption(tmp_path):
+    artifact = _blob(tmp_path)
+    write_pointer(artifact)
+    # same size, different content -> only the hash catches it
+    artifact.write_bytes(b"y" * 4096)
+    with pytest.raises(ValueError, match="sha256 .* corrupted or replaced"):
+        verify_pointer(artifact)
+    # size-only check passes (documented cheap mode), full check raises
+    verify_pointer(artifact, full=False)
+    artifact.write_bytes(b"short")
+    with pytest.raises(ValueError, match="size"):
+        verify_pointer(artifact, full=False)
+
+
+def test_push_pull_round_trip(tmp_path):
+    cache = ArtifactCache(tmp_path / "cache")
+    a = _blob(tmp_path, "a.tar", b"A" * 1000)
+    b = _blob(tmp_path, "b.tar", b"B" * 2000)
+    results = cache.push([a, b])
+    assert all(r["uploaded"] for r in results)
+    # second push is a no-op (content addressed)
+    assert not any(r["uploaded"] for r in cache.push([a, b]))
+
+    # delete the artifacts, keep the pointers -> pull restores bit-exact
+    sha_a = hash_file(a)
+    a.unlink()
+    b.unlink()
+    pulled = cache.pull([pointer_path(a), pointer_path(b)])
+    assert all(r["restored"] for r in pulled)
+    assert hash_file(a) == sha_a
+    # a second pull verifies and leaves files untouched
+    assert not any(r["restored"] for r in cache.pull([pointer_path(a)]))
+
+
+def test_pull_missing_blob_fails_loudly(tmp_path):
+    cache = ArtifactCache(tmp_path / "cache")
+    a = _blob(tmp_path, "a.tar")
+    write_pointer(a)
+    a.unlink()
+    with pytest.raises(FileNotFoundError, match="not in cache"):
+        cache.pull([pointer_path(a)])
+
+
+def test_pull_replaces_corrupted_artifact(tmp_path):
+    cache = ArtifactCache(tmp_path / "cache")
+    a = _blob(tmp_path, "a.tar", b"GOOD" * 256)
+    cache.push([a])
+    a.write_bytes(b"EVIL" * 256)  # same size, wrong content
+    results = cache.pull([pointer_path(a)])
+    assert results[0]["restored"]
+    assert a.read_bytes() == b"GOOD" * 256
+
+
+# ---------------------------------------------------------------------------
+# integration: checkpoint + shard writer + pipeline
+# ---------------------------------------------------------------------------
+
+
+def _tiny_ckpt(path):
+    from deadtrees_tpu.core import save_checkpoint
+
+    save_checkpoint(
+        path,
+        params={"w": np.ones((4, 4), np.float32)},
+        batch_stats={"m": np.zeros((4,), np.float32)},
+        hparams={"architecture": "unet"},
+        step=1, epoch=1,
+    )
+
+
+def test_checkpoint_save_writes_pointer_and_load_verifies(tmp_path):
+    from deadtrees_tpu.core.checkpoint import load_checkpoint
+
+    ckpt = tmp_path / "model.ckpt"
+    _tiny_ckpt(ckpt)
+    assert pointer_path(ckpt).exists()
+    verify_pointer(ckpt)
+    assert load_checkpoint(ckpt)["hparams"]["architecture"] == "unet"
+
+    # corrupt in place (same size): load must fail loudly, not mispredict
+    blob = bytearray(ckpt.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF
+    ckpt.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="corrupted or replaced"):
+        load_checkpoint(ckpt)
+
+
+def test_async_writer_delete_removes_pointer(tmp_path):
+    from deadtrees_tpu.core.checkpoint import AsyncCheckpointWriter
+
+    w = AsyncCheckpointWriter()
+    ckpt = tmp_path / "epoch_001.ckpt"
+    w.save(
+        ckpt,
+        params={"w": np.ones((2,), np.float32)},
+        batch_stats={}, hparams={}, step=1, epoch=1,
+    )
+    w.wait()
+    assert ckpt.exists() and pointer_path(ckpt).exists()
+    w.delete(ckpt)
+    w.close()
+    assert not ckpt.exists() and not pointer_path(ckpt).exists()
+
+
+def test_shardwriter_emits_pointers(tmp_path):
+    from deadtrees_tpu.data.shardwriter import ShardWriter
+
+    with ShardWriter(str(tmp_path / "train-%06d.tar"), maxcount=2) as w:
+        for i in range(5):
+            w.write({"__key__": f"s{i}", "txt": b"1"})
+    assert len(w.shards) == 3
+    for shard in w.shards:
+        verify_pointer(shard)
+
+    with ShardWriter(str(tmp_path / "np-%06d.tar"), maxcount=2,
+                     write_pointers=False) as w:
+        w.write({"__key__": "s", "txt": b"1"})
+    assert not pointer_path(tmp_path / "np-000000.tar").exists()
+
+
+def test_pipeline_push_pull_and_lock(tmp_path, monkeypatch):
+    import scripts.pipeline as pl
+
+    # stage graph with one out file + one out dir
+    out_file = tmp_path / "stats.json"
+    out_file.write_text("{}")
+    out_dir = tmp_path / "shards"
+    out_dir.mkdir()
+    (out_dir / "t-000000.tar").write_bytes(b"T" * 512)
+
+    monkeypatch.setattr(pl, "ROOT", tmp_path)
+    monkeypatch.setattr(pl, "LOCK_FILE", tmp_path / "pipeline.lock")
+
+    job = {
+        "name": "createdataset@2019",
+        "cmd": "true",
+        "outs": ["stats.json", "shards"],
+    }
+    pl.write_lock_entry(job, "stamp123")
+    lock = json.loads((tmp_path / "pipeline.lock").read_text())
+    entry = lock["createdataset@2019"]
+    assert entry["deps_stamp"] == "stamp123"
+    outs = {o["path"]: o for o in entry["outs"]}
+    assert outs["stats.json"]["sha256"] == hash_file(out_file)
+    assert outs["shards"]["dir"] and outs["shards"]["nfiles"] == 1
+
+    # push -> wipe -> pull restores both
+    cfg = {"stages": {}}
+    rc = pl.sync_command("push", ["stats.json", "shards"],
+                         tmp_path / "cache", cfg, None)
+    assert rc == 0
+    sha = hash_file(out_dir / "t-000000.tar")
+    out_file.unlink()
+    (out_dir / "t-000000.tar").unlink()
+    rc = pl.sync_command("pull", ["stats.json", "shards"],
+                         tmp_path / "cache", cfg, None)
+    assert rc == 0
+    assert out_file.exists()
+    assert hash_file(out_dir / "t-000000.tar") == sha
