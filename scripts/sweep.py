@@ -11,7 +11,13 @@ are dispatched either
 - one subprocess per command template (``--launcher slurm`` emits ``srun``
   lines, ``--launcher print`` just prints them for pod schedulers) — the
   coordination plane is the filesystem (one results.jsonl), not a W&B
-  server, since this environment has no egress.
+  server, since this environment has no egress,
+- through a real W&B sweep server when wandb is importable
+  (``--launcher wandb``): ``wandb.sweep(sweep.yaml)`` + an in-process
+  ``wandb.agent`` loop, the reference's exact coordination plane
+  (sweep_slurm.py:36-56, start-agent.sh:3-4). Multiple hosts join the
+  same sweep by passing ``--sweep-id`` — one agent per host, the SLURM
+  fan-out shape.
 
 Each run invokes ``run.py <overrides>`` and records the optimized metric;
 the best configuration is reported at the end (the reference's sweep
@@ -41,12 +47,64 @@ def expand_grid(params: dict):
         yield dict(zip(keys, combo))
 
 
+def _parse_metric(stdout: str):
+    """The objective is the last float line of the run's stdout (the
+    reference's train() return value, train.py:116-139)."""
+    for line in reversed(stdout.strip().splitlines() or [""]):
+        try:
+            return float(line.strip())
+        except ValueError:
+            continue
+    return None
+
+
+def run_wandb_sweep(cfg: dict, args, metric: str) -> None:
+    """W&B-server coordination plane (reference sweep_slurm.py:36-56):
+    create the sweep from the same sweep.yaml document (it IS the W&B
+    sweep format) and run an agent loop in this process. The agent pulls
+    each configuration from the server, launches ``program`` as a
+    subprocess with Hydra-style overrides, and logs the objective back."""
+    import wandb
+
+    program = cfg.get("program", "run.py")
+    sweep_id = args.sweep_id or wandb.sweep(
+        cfg, project=args.project, entity=args.entity
+    )
+    print(f"wandb sweep: {sweep_id}")
+
+    def agent_run():
+        run = wandb.init()
+        combo = dict(run.config)
+        overrides = [f"{k}={v}" for k, v in combo.items()] + list(args.extra)
+        overrides.append(f"optimized_metric={metric}")
+        proc = subprocess.run(
+            [sys.executable, program, *overrides],
+            capture_output=True, text=True,
+        )
+        value = _parse_metric(proc.stdout)
+        if value is not None:
+            run.log({metric: value})
+        run.finish(exit_code=proc.returncode)
+
+    wandb.agent(sweep_id, function=agent_run, count=args.count)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("sweep_config", type=Path, nargs="?", default=Path("sweep.yaml"))
-    parser.add_argument("--launcher", choices=["local", "slurm", "print"], default="local")
+    parser.add_argument("--launcher", choices=["local", "slurm", "print", "wandb"],
+                        default="local")
     parser.add_argument("--results", type=Path, default=Path("sweep_results.jsonl"))
     parser.add_argument("--extra", nargs="*", default=[], help="extra overrides for every run")
+    parser.add_argument("--project", default="deadtrees-tpu",
+                        help="W&B project for --launcher wandb")
+    parser.add_argument("--entity", default=None,
+                        help="W&B entity for --launcher wandb")
+    parser.add_argument("--sweep-id", default=None,
+                        help="join an existing W&B sweep instead of creating "
+                             "one (per-host agents, the SLURM fan-out shape)")
+    parser.add_argument("--count", type=int, default=None,
+                        help="max runs this wandb agent executes")
     parser.add_argument(
         "--from-config", metavar="NAME", default=None,
         help="load the search space from configs/hparams_search/NAME.yaml "
@@ -64,6 +122,17 @@ def main() -> None:
     metric = cfg.get("metric", {}).get("name", "val/dice")
     goal = cfg.get("metric", {}).get("goal", "maximize")
 
+    if args.launcher == "wandb":
+        try:
+            import wandb  # noqa: F401
+        except ImportError:
+            sys.exit(
+                "--launcher wandb needs the wandb package; use the default "
+                "filesystem launcher in egress-free environments"
+            )
+        run_wandb_sweep(cfg, args, metric)
+        return
+
     combos = list(expand_grid(cfg.get("parameters", {})))
     print(f"sweep: {len(combos)} configurations, metric {metric} ({goal})")
 
@@ -79,13 +148,7 @@ def main() -> None:
             cmd = ["srun", "--nodes=1", "--ntasks=1", *cmd]
         print(f"[{i + 1}/{len(combos)}] {' '.join(overrides)}")
         proc = subprocess.run(cmd, capture_output=True, text=True)
-        value = None
-        for line in reversed(proc.stdout.strip().splitlines() or [""]):
-            try:
-                value = float(line.strip())
-                break
-            except ValueError:
-                continue
+        value = _parse_metric(proc.stdout)
         rec = {"overrides": overrides, "value": value, "returncode": proc.returncode}
         results.append(rec)
         with open(args.results, "a") as f:

@@ -10,6 +10,7 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
 import yaml
 
 REPO = Path(__file__).resolve().parents[1]
@@ -108,3 +109,75 @@ def test_from_config_group(tmp_path):
     # 5 architectures x 2 encoders (configs/hparams_search/architecture_grid.yaml)
     assert len(cmds) == 10
     assert sum("architecture=efficientunet++" in c for c in cmds) == 2
+
+
+def test_wandb_launcher_with_mock(tmp_path, monkeypatch):
+    """--launcher wandb (reference sweep_slurm.py:36-56): the sweep.yaml
+    document goes to wandb.sweep verbatim, an agent loop pulls configs,
+    runs the program with Hydra-style overrides, and logs the objective.
+    Driven with a mock wandb module (the real package is not installed /
+    no egress)."""
+    import types
+    from types import SimpleNamespace
+
+    stub = tmp_path / "objective.py"
+    stub.write_text(
+        "import sys\n"
+        "vals = dict(a.split('=', 1) for a in sys.argv[1:])\n"
+        "print('noise')\n"
+        "print(float(vals['model.lr']) * 2)\n"
+    )
+    cfg = {
+        "program": str(stub),
+        "metric": {"name": "val/dice", "goal": "maximize"},
+        "parameters": {"model.lr": {"values": [0.1, 0.4, 0.2]}},
+    }
+
+    logged, finished = [], []
+    state = {"combos": None, "next": None}
+
+    class FakeRun:
+        def __init__(self, config):
+            self.config = config
+
+        def log(self, d):
+            logged.append(d)
+
+        def finish(self, exit_code=0):
+            finished.append(exit_code)
+
+    fake = types.ModuleType("wandb")
+
+    def fake_sweep(sweep_cfg, project=None, entity=None):
+        state["combos"] = list(expand_grid(sweep_cfg["parameters"]))
+        fake._project = project
+        return "sweep123"
+
+    def fake_init():
+        return FakeRun(dict(state["next"]))
+
+    def fake_agent(sweep_id, function=None, count=None):
+        assert sweep_id == "sweep123"
+        todo = state["combos"][:count] if count else state["combos"]
+        for combo in todo:
+            state["next"] = combo
+            function()
+
+    fake.sweep, fake.init, fake.agent = fake_sweep, fake_init, fake_agent
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    args = SimpleNamespace(sweep_id=None, project="deadtrees-tpu",
+                           entity=None, extra=["mode=debug"], count=None)
+    sweep_script.run_wandb_sweep(cfg, args, "val/dice")
+
+    assert fake._project == "deadtrees-tpu"
+    assert [d["val/dice"] for d in logged] == pytest.approx([0.2, 0.8, 0.4])
+    assert finished == [0, 0, 0]
+
+    # --count caps the agent's runs; --sweep-id joins without creating
+    logged.clear()
+    finished.clear()
+    args = SimpleNamespace(sweep_id="sweep123", project=None, entity=None,
+                           extra=[], count=2)
+    sweep_script.run_wandb_sweep(cfg, args, "val/dice")
+    assert len(logged) == 2
