@@ -15,6 +15,10 @@ process-env needed for ``deadtrees_tpu.parallel.distributed_init``:
     python scripts/launch_pod.py --hosts h1 h2 h3 h4 \
         --coordinator h1:8476 -- python run.py model=default
 
+``--print`` emits the exact per-worker command lines (gcloud invocation,
+or one ssh line per host with the coordinator env) without executing —
+the dry-run mode tests assert on (tests/test_launch_pod.py).
+
 Single-host multi-chip needs no launcher: `python run.py` sees all local
 chips via the mesh directly.
 """
@@ -25,17 +29,47 @@ import argparse
 import shlex
 import subprocess
 import sys
-from typing import List
+from typing import List, Tuple
 
 
-def main() -> None:
+def build_gcloud_command(tpu: str, zone: str, cmd_str: str) -> List[str]:
+    """gcloud tpu-vm fan-out: one ssh to every worker (--worker=all);
+    JAX auto-discovers the pod's coordination topology."""
+    gcloud = [
+        "gcloud", "compute", "tpus", "tpu-vm", "ssh", tpu,
+        "--worker=all", f"--command={cmd_str}",
+    ]
+    if zone:
+        gcloud.insert(6, f"--zone={zone}")
+    return gcloud
+
+
+def build_ssh_commands(
+    hosts: List[str], coordinator: str, cmd_str: str
+) -> List[Tuple[str, List[str]]]:
+    """Explicit host list: one ssh per host carrying the jax.distributed
+    env (coordinator address, world size, this host's process id) that
+    deadtrees_tpu.parallel.distributed_init consumes."""
+    out = []
+    for rank, host in enumerate(hosts):
+        env = (
+            f"JAX_COORDINATOR_ADDRESS={coordinator} "
+            f"JAX_NUM_PROCESSES={len(hosts)} JAX_PROCESS_ID={rank}"
+        )
+        out.append((host, ["ssh", host, f"{env} {cmd_str}"]))
+    return out
+
+
+def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", help="Cloud TPU name (uses gcloud ssh --worker=all)")
     ap.add_argument("--zone", default=None)
     ap.add_argument("--hosts", nargs="+", help="explicit ssh host list")
     ap.add_argument("--coordinator", default=None, help="host:port of process 0")
+    ap.add_argument("--print", dest="dry_run", action="store_true",
+                    help="print the per-worker commands without executing")
     ap.add_argument("cmd", nargs=argparse.REMAINDER, help="-- command to run")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
     if not cmd:
@@ -43,30 +77,24 @@ def main() -> None:
     cmd_str = " ".join(shlex.quote(c) for c in cmd)
 
     if args.tpu:
-        # gcloud fans out to every worker; JAX auto-discovers coordination
-        gcloud = [
-            "gcloud", "compute", "tpus", "tpu-vm", "ssh", args.tpu,
-            "--worker=all", f"--command={cmd_str}",
-        ]
-        if args.zone:
-            gcloud.insert(6, f"--zone={args.zone}")
-        sys.exit(subprocess.run(gcloud).returncode)
+        gcloud = build_gcloud_command(args.tpu, args.zone, cmd_str)
+        if args.dry_run:
+            print(" ".join(shlex.quote(c) for c in gcloud))
+            return 0
+        return subprocess.run(gcloud).returncode
 
     if not args.hosts:
         ap.error("need --tpu or --hosts")
     coordinator = args.coordinator or f"{args.hosts[0]}:8476"
-    procs: List[subprocess.Popen] = []
-    for rank, host in enumerate(args.hosts):
-        env = (
-            f"JAX_COORDINATOR_ADDRESS={coordinator} "
-            f"JAX_NUM_PROCESSES={len(args.hosts)} JAX_PROCESS_ID={rank}"
-        )
-        procs.append(
-            subprocess.Popen(["ssh", host, f"{env} {cmd_str}"])
-        )
+    launches = build_ssh_commands(args.hosts, coordinator, cmd_str)
+    if args.dry_run:
+        for _host, line in launches:
+            print(" ".join(shlex.quote(c) for c in line))
+        return 0
+    procs = [subprocess.Popen(line) for _host, line in launches]
     codes = [p.wait() for p in procs]
-    sys.exit(max(codes))
+    return max(codes)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
