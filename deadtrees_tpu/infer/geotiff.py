@@ -102,16 +102,35 @@ def read_geotiff(path: Union[str, Path]) -> GeoImage:
 
     from PIL import Image, TiffImagePlugin  # noqa: F401
 
+    # PIL opens lazily: reading tag_v2 here parses the IFD only
     with Image.open(path) as img:
         tags = {}
         if hasattr(img, "tag_v2"):
             for t in GEO_TAGS:
                 if t in img.tag_v2:
                     tags[t] = img.tag_v2[t]
-        data = np.asarray(img)
+
+    # pixel decode: the C++ decoder (strip AND tiled layouts, all the
+    # compressions GDAL emits) is ~3.7x PIL on the 1-core bench host
+    # (PERF.md session 2); unsupported variants (16-bit, big-endian)
+    # fall back to PIL
+    data = None
+    decoder = "pil"
+    try:
+        from deadtrees_tpu.data import native
+
+        if native.available():
+            data = native.tiff_decode(Path(path).read_bytes())
+            decoder = "native"
+    except Exception:
+        data = None
+        decoder = "pil"
+    if data is None:
+        with Image.open(path) as img:
+            data = np.asarray(img)
     if data.ndim == 2:
         data = data[..., None]
-    return GeoImage(data, {"backend": "pil", "tags": tags})
+    return GeoImage(data, {"backend": "pil", "tags": tags, "decoder": decoder})
 
 
 def write_geotiff(

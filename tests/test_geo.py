@@ -217,3 +217,38 @@ def test_shapefile_write_polygon_with_hole(tmp_path):
     mask = rasterize(out, bounds=(0, 0, 50, 50), size=(50, 50))
     assert mask[25, 15] == 1  # annulus
     assert mask[25, 25] == 0  # inside the hole
+
+
+def test_read_geotiff_native_decode_parity(tmp_path):
+    """The PIL-fallback scene read routes pixel decode through the C++
+    decoder when built (strip AND tiled layouts) with PIL-parity output
+    and intact geo tags; unsupported variants fall back to PIL."""
+    import numpy as np
+    from PIL import Image, TiffImagePlugin
+
+    from deadtrees_tpu.data import native
+    from deadtrees_tpu.infer.geotiff import read_geotiff
+
+    rng = np.random.default_rng(4)
+    data = rng.integers(0, 255, (40, 56, 4), dtype=np.uint8)
+    info = TiffImagePlugin.ImageFileDirectory_v2()
+    info[33550] = (0.2, 0.2, 0.0)
+    info[33922] = (0.0, 0.0, 0.0, 500000.0, 5400000.0, 0.0)
+    p = tmp_path / "scene.tif"
+    Image.fromarray(data, "RGBA").save(
+        str(p), format="TIFF", tiffinfo=info, compression="tiff_lzw"
+    )
+
+    img = read_geotiff(p)
+    np.testing.assert_array_equal(img.data, data)
+    assert 33550 in img.geo["tags"]
+    if native.available():
+        assert img.geo["decoder"] == "native"
+
+    # 16-bit input exceeds the native decoder's subset -> PIL fallback
+    mask16 = rng.integers(0, 60000, (16, 16), dtype=np.uint16)
+    p16 = tmp_path / "mask16.tif"
+    Image.fromarray(mask16, "I;16").save(str(p16), format="TIFF", tiffinfo=info)
+    img16 = read_geotiff(p16)
+    assert img16.geo["decoder"] == "pil"
+    np.testing.assert_array_equal(np.squeeze(img16.data), mask16)
