@@ -394,9 +394,16 @@ class Trainer:
         stream ran dry (uneven shard assignment / unequal shard sample
         counts). datamodule.steps_per_epoch is the min-over-processes safe
         bound; single-process runs stay unbounded (stream exhaustion ends
-        the epoch)."""
+        the epoch). The process count comes from the datamodule (which
+        resolves an explicit cfg.process_count override before
+        jax.process_count()) so simulated multi-host configurations — the
+        dryrun's uneven-shard assertion, tests — exercise this exact
+        path."""
         cap = None if limit_train is None else int(limit_train)
-        if jax.process_count() > 1:
+        pc = getattr(self.datamodule, "process_count", None)
+        if pc is None:
+            pc = jax.process_count()
+        if pc > 1:
             safe = int(self.datamodule.steps_per_epoch)
             cap = safe if cap is None else min(cap, safe)
         return cap

@@ -1,35 +1,34 @@
-"""Worker for the 2-process data-parallel test (not a test itself).
+"""Worker for the multi-process data-parallel tests (not a test itself).
 
 Usage: python tests/multiproc_worker.py <pid> <nprocs> <port> <outfile>
+           [devices_per_proc]
 
-Each process owns ONE fake CPU device, joins a localhost jax.distributed
-cluster, feeds its process-local slice of a deterministic global batch
-through parallel.shard_batch (make_array_from_process_local_data on >1
-processes), and runs ONE data-parallel train step. The parent test
-compares the resulting metrics against a single-process 8-device run of
-the same global batch.
+Each process owns ``devices_per_proc`` fake CPU devices (default 1),
+joins a localhost jax.distributed cluster, feeds its process-local slice
+of a deterministic global batch through parallel.shard_batch
+(make_array_from_process_local_data on >1 processes), and runs ONE
+data-parallel train step. The parent test compares the resulting metrics
+against a single-process 8-device run of the same global batch.
 
-One device per process is deliberate: jax 0.9's Gloo CPU collectives
-deadlock in cross-process rendezvous whenever a process owns more than
-one host-platform device (minimal repro: a bare
-``multihost_utils.process_allgather`` with
-``--xla_force_host_platform_device_count=4`` hangs in Gloo context
-init — ``GetKeyValue() timed out with key: cpu:gloo/...`` — while the
-same program with one device per process completes; neither
-``JAX_CPU_ENABLE_ASYNC_DISPATCH=false`` nor ``JAX_NUM_CPU_DEVICES``
-avoids it). The 1-device-per-process shape still exercises everything
-this test exists to prove: distributed init, disjoint process-local
-input assembly, the cross-process gradient psum, and step parity.
+History: on the round-3 host image, jax 0.9's Gloo CPU collectives
+deadlocked in cross-process rendezvous whenever a process owned more than
+one host-platform device (``GetKeyValue() timed out with key:
+cpu:gloo/...``), so only the 1-device shape ran. The round-4 probe
+(scripts/probe_multidevice_distributed.py, PROOFS/
+multidevice_distributed_probe.json) shows 2 procs x 4 devices passing on
+the current image — so the production pod shape (N local devices x M
+processes) is now exercised directly by
+tests/test_multiprocess.py::test_two_process_multidevice_*.
 """
 
 import json
 import os
 import sys
 
+_n_dev = sys.argv[5] if len(sys.argv) > 5 else "1"
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=1"
-).strip()
+    f"--xla_force_host_platform_device_count={_n_dev}"
+)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -42,13 +41,16 @@ def main() -> None:
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     outfile = sys.argv[4]
 
+    n_dev = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}",
         num_processes=nprocs,
         process_id=pid,
     )
     assert jax.process_count() == nprocs
-    assert len(jax.devices()) == nprocs
+    assert len(jax.local_devices()) == n_dev
+    assert len(jax.devices()) == nprocs * n_dev
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import numpy as np

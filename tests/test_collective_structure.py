@@ -96,6 +96,45 @@ def test_dp_train_step_communicates_via_all_reduce_only(_setup):
     assert n_sites >= 1, "expected at least the gradient psum"
 
 
+def test_flagship_collective_proof_recorded():
+    """The all-reduce-only claim must hold for the MODEL OF RECORD, not
+    just the toy unet (VERDICT r3 item 3a). The b5 fwd+bwd CPU compile
+    takes ~14 min, so the flagship HLO inspection lives in
+    scripts/probe_flagship_collectives.py with its result committed to
+    PROOFS/; this test pins the recorded outcome (and the slow test below
+    re-derives it when explicitly requested)."""
+    import json
+    from pathlib import Path
+
+    proof = (
+        Path(__file__).resolve().parents[1]
+        / "PROOFS" / "flagship_collectives_r4.json"
+    )
+    assert proof.exists(), "run scripts/probe_flagship_collectives.py"
+    report = json.loads(proof.read_text())
+    assert report["collective_kinds"] == ["all-reduce"]
+    assert report["claim_holds"] is True
+    assert "b5" in report["model"]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").environ.get("DEADTREES_FLAGSHIP_HLO"),
+    reason="~14 min CPU compile; set DEADTREES_FLAGSHIP_HLO=1 to re-derive "
+           "(recorded result asserted by test_flagship_collective_proof_recorded)",
+)
+def test_flagship_train_step_all_reduce_only(tmp_path):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import probe_flagship_collectives as probe_mod
+
+    report = probe_mod.probe(tmp_path / "flagship_collectives.json")
+    assert report["collective_kinds"] == ["all-reduce"]
+    assert report["all_reduce_sites"] >= 1
+
+
 def test_sharded_scene_inference_gathers_only_the_output(_setup):
     model, variables, mesh = _setup
     pred = make_scene_predictor(model, subtile=32, batch_size=16, mesh=mesh)

