@@ -288,12 +288,19 @@ def bench_train(
     warmup: int = 3,
     decoder_channels=(256, 128, 64, 32, 16),
     frozen_bn: bool = False,
+    grad_accum: int = 1,
 ) -> float:
     """Training-step throughput (tiles/s) at the production recipe: compound
     GDICE+FOCAL+BOUNDARY loss, clipped Adam + cosine, BN updates.
 
     ``frozen_bn=True`` benches the fine-tuning mode (BN on running stats,
-    all weights train — PERF.md r3): +17% measured at bs=128."""
+    all weights train — PERF.md r3): +17% measured at bs=128.
+
+    ``grad_accum=k`` benches the accumulation path (optax MultiSteps via
+    OptimizerConfig.accumulate_grad_batches): ``batch_size`` becomes the
+    MICRO-batch, one optimizer update lands every k micro-steps, and the
+    reported tiles/s counts micro-batches — the effective-batch-k×bs
+    recipe for batches that exceed HBM (VERDICT r3 item 7)."""
     from deadtrees_tpu.models import create_model
     from deadtrees_tpu.train import (
         OptimizerConfig,
@@ -308,7 +315,9 @@ def bench_train(
         decoder_channels=decoder_channels, dtype=jnp.bfloat16,
     )
     variables = _bench_variables(model, image_size, train=True)
-    tx = make_optimizer(OptimizerConfig(steps_per_epoch=100))
+    tx = make_optimizer(OptimizerConfig(
+        steps_per_epoch=100, accumulate_grad_batches=grad_accum,
+    ))
     state = TrainState.create(
         params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
     )
@@ -433,6 +442,22 @@ def main() -> None:
                         f"bench[train]: 256px bs=128: {train_tps:.1f} "
                         "tiles512/s", file=sys.stderr,
                     )
+                    # gradient accumulation (VERDICT r3 item 7): micro
+                    # bs=32 x k=4 = effective 128 — the recipe for
+                    # effective batches beyond HBM, now a measured number
+                    if time.perf_counter() - t_start < 1200:
+                        ga_tps = bench_train(
+                            args.architecture, args.encoder,
+                            image_size=256, batch_size=32, iters=6,
+                            grad_accum=4,
+                        )
+                        extra["train_accum32x4_512px_tiles_per_sec_per_chip"] = (
+                            round(ga_tps, 2)
+                        )
+                        print(
+                            f"bench[train accum 32x4]: 256px: {ga_tps:.1f} "
+                            "tiles512/s", file=sys.stderr,
+                        )
                     # fine-tuning mode (frozen-BN, PERF.md r3): the measured
                     # option for the reference recipe's encoder-frozen stage
                     if time.perf_counter() - t_start < 1200:
