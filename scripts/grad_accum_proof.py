@@ -42,7 +42,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 
-def write_dataset(data: Path, n_shards: int = 10, per_shard: int = 32,
+# 20 shards split 0.7/0.2/0.1 -> 14 train / 4 val / 2 test: the val split
+# must hold >= one FULL bs=128 batch (batched(partial=False) semantics —
+# with 10 shards the 64 val samples yield zero bs-128 batches and run A
+# would never produce a val/dice)
+def write_dataset(data: Path, n_shards: int = 20, per_shard: int = 32,
                   size: int = 256) -> None:
     from scripts.quant_accuracy_proof import write_learnable_shard
 
@@ -80,7 +84,8 @@ def fit_once(data: str, work: str, batch_size: int, accum: int,
             "min_epochs": 1,
             "precision": "bf16",
             "gradient_clip_val": 0.5,
-            "limit_val_batches": 1,
+            # no val cap: both runs score the SAME 128 val samples
+            # (A: one bs-128 batch; B: four bs-32 batches)
             "devices": 1,
             "accumulate_grad_batches": accum,
         },
@@ -122,7 +127,7 @@ def main(argv=None) -> int:
         return 0
 
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--tol", type=float, default=0.05,
                     help="max |dice_A - dice_B| accepted (BN micro-batch "
                          "stats make the runs statistically, not bitwise, "
@@ -133,7 +138,7 @@ def main(argv=None) -> int:
     tmp = Path(tempfile.mkdtemp(prefix="grad_accum_proof_"))
     data = tmp / "data"
     write_dataset(data)
-    print(f"dataset: 10 learnable shards @256² in {data}", flush=True)
+    print(f"dataset: 20 learnable shards @256² in {data}", flush=True)
 
     runs = {}
     for name, bs, accum in (("A_bs128", 128, 1), ("B_bs32x4", 32, 4)):
