@@ -199,3 +199,64 @@ def test_pipeline_push_pull_and_lock(tmp_path, monkeypatch):
     assert rc == 0
     assert out_file.exists()
     assert hash_file(out_dir / "t-000000.tar") == sha
+
+
+def test_pipeline_repro_flow_and_lock(tmp_path, monkeypatch):
+    """The dvc-repro analogue end to end: stages run in order, unchanged
+    stages skip on re-invocation, --force reruns, and every successful
+    stage records its outs' content hashes in pipeline.lock."""
+    import sys
+
+    import yaml
+
+    import scripts.pipeline as pl
+
+    (tmp_path / "raw.txt").write_text("source-data")
+    cfg = {
+        "params": {"years": [2019]},
+        "stages": {
+            "stage_a": {
+                "cmd": "cp raw.txt a_{item}.out",
+                "deps": ["raw.txt"],
+                "outs": ["a_{item}.out"],
+                "foreach": "years",
+            },
+            "stage_b": {
+                "cmd": "cat a_2019.out a_2019.out > b.out",
+                "deps": ["a_2019.out"],
+                "outs": ["b.out"],
+            },
+        },
+    }
+    (tmp_path / "pipeline.yaml").write_text(yaml.safe_dump(cfg))
+
+    monkeypatch.setattr(pl, "ROOT", tmp_path)
+    monkeypatch.setattr(pl, "STATE_FILE", tmp_path / ".pipeline_state.json")
+    monkeypatch.setattr(pl, "LOCK_FILE", tmp_path / "pipeline.lock")
+
+    def run(*argv):
+        monkeypatch.setattr(sys, "argv", [
+            "pipeline.py", "--pipeline", str(tmp_path / "pipeline.yaml"),
+            *argv,
+        ])
+        pl.main()
+
+    run()
+    assert (tmp_path / "a_2019.out").read_text() == "source-data"
+    assert (tmp_path / "b.out").read_text() == "source-data" * 2
+
+    lock = json.loads((tmp_path / "pipeline.lock").read_text())
+    assert set(lock) == {"stage_a@2019", "stage_b"}
+    assert lock["stage_b"]["outs"][0]["sha256"] == hash_file(tmp_path / "b.out")
+
+    # unchanged deps -> no rerun (mtime of outs unchanged)
+    mtime = (tmp_path / "b.out").stat().st_mtime_ns
+    run()
+    assert (tmp_path / "b.out").stat().st_mtime_ns == mtime
+    # --force reruns
+    run("--force")
+    assert (tmp_path / "b.out").stat().st_mtime_ns > mtime
+    # a changed dep cascades
+    (tmp_path / "raw.txt").write_text("CHANGED!!")
+    run()
+    assert (tmp_path / "b.out").read_text() == "CHANGED!!" * 2
