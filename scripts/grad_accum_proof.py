@@ -108,16 +108,75 @@ def fit_once(data: str, work: str, batch_size: int, accum: int,
         rows = list(csv.DictReader(f))
     losses = [float(r["train/total_loss"]) for r in rows
               if r.get("train/total_loss")]
+
+    val_dice_recal = _recalibrated_val_dice(trainer)
     Path(out_json).write_text(json.dumps({
         "batch_size": batch_size,
         "accum": accum,
         "loss_first": losses[0],
         "loss_last": losses[-1],
-        "val_dice": result.get("val/dice"),
+        "val_dice_raw": result.get("val/dice"),
+        "val_dice_recal": val_dice_recal,
         "wall_min": round(wall / 60, 1),
     }))
     print(f"fit bs={batch_size} accum={accum}: loss {losses[0]:.4f} -> "
-          f"{losses[-1]:.4f}, val dice {result.get('val/dice')}", flush=True)
+          f"{losses[-1]:.4f}, val dice raw={result.get('val/dice')} "
+          f"recal={val_dice_recal:.4f}", flush=True)
+
+
+def _recalibrated_val_dice(trainer) -> float:
+    """Foreground dice over the val split after BN-stat RECALIBRATION.
+
+    The two recipes update BN running stats at 4x different rates (per
+    micro-step), so on a short run the raw val/dice mostly measures BN
+    warmup, not the learned weights (measured: 0.46 vs 0.70 at epoch 8
+    while train losses tracked within 0.1). 40 train-mode passes at
+    momentum 0.9 put both runs' stats ~98.5% of the way to their
+    steady state, making the dice comparison about the gradient math —
+    the same recalibration trick the SWA finalizer uses
+    (trainer._finalize_swa).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deadtrees_tpu.losses.functional import class2one_hot
+    from deadtrees_tpu.losses.metrics import fscore
+
+    model = trainer.model
+    params = trainer.state.params
+    stats = trainer.state.batch_stats
+
+    @jax.jit
+    def bn_pass(params, batch_stats, img):
+        _, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            img, train=True, mutable=["batch_stats"],
+        )
+        return mut["batch_stats"]
+
+    seen = 0
+    epoch = 0
+    while seen < 40:
+        for b in trainer.datamodule.train_batches(jax.random.PRNGKey(epoch)):
+            stats = bn_pass(params, stats, b["image"])
+            seen += 1
+            if seen >= 40:
+                break
+        epoch += 1
+
+    @jax.jit
+    def predict(img):
+        logits = model.apply(
+            {"params": params, "batch_stats": stats}, img, train=False
+        )
+        return jax.nn.softmax(logits, axis=-1)
+
+    dices = []
+    for b in trainer.datamodule.val_batches():
+        probs = predict(b["image"])
+        y = class2one_hot(jnp.asarray(b["mask"]), probs.shape[-1])
+        dices.append(float(fscore(probs, y, ignore_channels=[0])))
+    return sum(dices) / max(len(dices), 1)
 
 
 def main(argv=None) -> int:
@@ -158,7 +217,7 @@ def main(argv=None) -> int:
         print(f"{name} done in {(time.time() - t0) / 60:.1f} min", flush=True)
 
     a, b = runs["A_bs128"], runs["B_bs32x4"]
-    delta = abs((a["val_dice"] or 0) - (b["val_dice"] or 0))
+    delta = abs((a["val_dice_recal"] or 0) - (b["val_dice_recal"] or 0))
     ok = (
         a["loss_last"] < a["loss_first"]
         and b["loss_last"] < b["loss_first"]
@@ -168,8 +227,11 @@ def main(argv=None) -> int:
         "model": "efficientunet++/timm-efficientnet-b5 (256,128,64,32,16)",
         "epochs": args.epochs,
         "runs": runs,
-        "dice_delta": round(delta, 4),
+        "dice_delta_recal": round(delta, 4),
         "tolerance": args.tol,
+        "note": "dice compared after identical BN-stat recalibration; raw "
+                "val/dice differs on short runs because BN running stats "
+                "update 4x more often in the accumulation recipe",
         "status": "ok" if ok else "FAIL",
     }
     args.out.parent.mkdir(parents=True, exist_ok=True)
