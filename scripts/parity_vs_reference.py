@@ -131,8 +131,13 @@ def sniff_network(sd: dict) -> dict:
         hw = np.asarray(sd[head_key]).shape  # (classes, dec_last, 3, 3)
         out["classes"] = int(hw[0])
         out["head_in"] = int(hw[1])
-    if any(k.startswith(f"{pref}decoder.blocks.") for k in keys):
+    if any(k.startswith(f"{pref}decoder.blocks.x_") for k in keys):
         out["architecture"] = "efficientunet++"
+    elif any(
+        re.match(rf"{re.escape(pref)}decoder\.blocks\.\d+\.conv1\.0\.", k)
+        for k in keys
+    ):
+        out["architecture"] = "unet"
     return out
 
 
@@ -157,6 +162,7 @@ _CONSUMED_KEY_PATTERNS = [
     r"^encoder\.blocks\.\d+\.\d+\.bn[123]\.(weight|bias|running_mean|running_var)$",
     r"^encoder\.blocks\.\d+\.\d+\.se\.conv_(reduce|expand)\.(weight|bias)$",
     r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.block\.[013478]\.",
+    r"^decoder\.blocks\.\d+\.conv[12]\.[01]\.",  # smp Unet Conv2dReLU pairs
     r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.block\.6\.[cs]SE\.",
     r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.skip_conv\.[01]\.",
     r"^segmentation_head\.0\.(weight|bias)$",
@@ -196,14 +202,44 @@ def audit_state_dict_keys(sd: dict) -> dict:
     }
 
 
+def derive_decoder_channels(sd: dict, architecture: str):
+    """Decoder widths read from the state dict itself: each stage's first
+    conv's output channels. Works for both families (unet Conv2dReLU
+    stacks; effunet dense-grid column x_0_l project convs)."""
+    try:
+        if architecture == "unet":
+            idxs = sorted({
+                int(k.split(".")[2]) for k in sd
+                if re.match(r"decoder\.blocks\.\d+\.", k)
+            })
+            return [
+                int(np.asarray(sd[f"decoder.blocks.{i}.conv1.0.weight"]).shape[0])
+                for i in idxs
+            ]
+        cols = sorted({
+            int(k.split(".")[2].rsplit("_", 1)[1]) for k in sd
+            if k.startswith("decoder.blocks.x_0_")
+        })
+        return [
+            int(np.asarray(
+                sd[f"decoder.blocks.x_0_{l}.conv1.block.7.weight"]
+            ).shape[0])
+            for l in cols
+        ]
+    except Exception:
+        return None
+
+
 def convert_reference_checkpoint(
     torch_ckpt: Path,
     *,
     architecture: str = None,
     encoder_name: str = None,
-    decoder_channels=(256, 128, 64, 32, 16),
+    decoder_channels=None,
 ) -> tuple:
-    """Load + convert the Lightning checkpoint → (variables, hparams)."""
+    """Load + convert the Lightning checkpoint → (variables, hparams).
+
+    ``decoder_channels=None`` derives the widths from the state dict."""
     from deadtrees_tpu.models.convert import (
         convert_effunetpp_checkpoint,
         load_torch_state_dict,
@@ -213,6 +249,19 @@ def convert_reference_checkpoint(
     sniffed = sniff_network(sd)
     architecture = architecture or sniffed["architecture"] or "efficientunet++"
     encoder_name = encoder_name or sniffed["encoder_name"]
+
+    sd_bare = {
+        (k[len("model."):] if k.startswith("model.") else k): v
+        for k, v in sd.items()
+    }
+    if decoder_channels is None:
+        decoder_channels = derive_decoder_channels(sd_bare, architecture)
+        if decoder_channels is None:
+            decoder_channels = (256, 128, 64, 32, 16)  # model-of-record default
+            log.warning("could not derive decoder channels; assuming %s",
+                        decoder_channels)
+        else:
+            log.info("derived decoder channels: %s", decoder_channels)
     decoder_channels = tuple(decoder_channels)
     if "head_in" in sniffed and sniffed["head_in"] != decoder_channels[-1]:
         raise ValueError(
@@ -230,18 +279,20 @@ def convert_reference_checkpoint(
     )
     log.info("sniffed network: %s", hparams)
 
-    bare = {k[len("model."):] if k.startswith("model.") else k: None for k in sd}
-    key_audit = audit_state_dict_keys(bare)
+    key_audit = audit_state_dict_keys(sd_bare)
 
-    if architecture not in ("efficientunet++", "efficientunetplusplus"):
+    if architecture in ("efficientunet++", "efficientunetplusplus"):
+        w, d = _effnet_mults(encoder_name)
+        variables = convert_effunetpp_checkpoint(sd, width_mult=w, depth_mult=d)
+    elif architecture == "unet":
+        from deadtrees_tpu.models.convert import convert_unet_checkpoint
+
+        variables = convert_unet_checkpoint(sd, encoder_name=encoder_name)
+    else:
         raise NotImplementedError(
-            f"parity conversion currently covers the model of record "
-            f"(efficientunet++); got {architecture}. The per-family "
-            f"converters in models/convert.py can be wired here when a "
-            f"non-flagship reference checkpoint exists."
+            f"parity conversion covers efficientunet++ (the model of "
+            f"record) and unet/resnet (the sweep grid); got {architecture}."
         )
-    w, d = _effnet_mults(encoder_name)
-    variables = convert_effunetpp_checkpoint(sd, width_mult=w, depth_mult=d)
     return variables, hparams, key_audit
 
 
@@ -399,8 +450,9 @@ def main(argv=None) -> int:
                          "(argmax agreement between the frameworks)")
     ap.add_argument("--architecture", default=None)
     ap.add_argument("--encoder", dest="encoder_name", default=None)
-    ap.add_argument("--decoder-channels", type=int, nargs="+",
-                    default=[256, 128, 64, 32, 16])
+    ap.add_argument("--decoder-channels", type=int, nargs="+", default=None,
+                    help="decoder widths (default: derived from the "
+                         "checkpoint's own conv shapes)")
     ap.add_argument("--subtile", type=int, default=512)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--limit", type=int, default=0,

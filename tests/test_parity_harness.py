@@ -195,3 +195,48 @@ def test_harness_scene_mode_with_reference_pred(lightning_ckpt, tmp_path):
 
     hp = load_checkpoint(tmp_path / "c2.ckpt")["hparams"]
     assert "encoder_bn_eps" in hp and "encoder_pad_type" in hp
+
+
+def test_harness_derives_decoder_channels(lightning_ckpt, tmp_path):
+    """With --decoder-channels omitted, the widths come from the
+    checkpoint's own conv shapes (the real artifact needs no operator
+    knowledge of the recipe)."""
+    from scripts.parity_vs_reference import convert_reference_checkpoint
+
+    variables, hparams, _ = convert_reference_checkpoint(lightning_ckpt)
+    assert tuple(hparams["decoder_channels"]) == DEC_CH
+
+
+def test_harness_unet_family_end_to_end(tmp_path):
+    """The sweep grid's unet/resnet configurations convert and score
+    through the same one-command harness."""
+    from tests.test_convert_unet import _torch_unet
+
+    torch.manual_seed(9)
+    tmodel = _torch_unet().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.3)
+    sd = {f"model.{k}": v for k, v in tmodel.state_dict().items()}
+    ckpt = tmp_path / "unet_sweep.ckpt"
+    torch.save({"state_dict": sd}, str(ckpt))
+
+    shard = tmp_path / "test-000000.tar"
+    _write_shard(shard, 4, size=32, seed=21)
+    out = tmp_path / "parity_unet.json"
+    rc = main([
+        "--torch-ckpt", str(ckpt),
+        "--shard", str(shard),
+        "--batch", "4",
+        "--save-converted", str(tmp_path / "unet_conv.ckpt"),
+        "--out", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["hparams"]["architecture"] == "unet"
+    assert report["hparams"]["encoder_name"] == "resnet18"
+    assert tuple(report["hparams"]["decoder_channels"]) == (16, 16, 8, 8, 8)
+    assert report["key_audit"]["unrecognized_keys"] == []
+    assert report["shards"]["n_samples"] == 4
