@@ -496,6 +496,17 @@ def main(argv=None) -> int:
         converted = args.out.parent / (args.torch_ckpt.stem + "_converted.ckpt")
     converted.parent.mkdir(parents=True, exist_ok=True)
 
+    if args.try_conventions or args.bn_eps or args.pad_type:
+        # the convention ambiguity is specific to the re-stated timm
+        # efficientnet (docs/encoder_audit.md); resnet forward semantics
+        # are fully determined by torchvision
+        if hparams["architecture"] not in ("efficientunet++",
+                                           "efficientunetplusplus"):
+            ap.error(
+                "--try-conventions/--bn-eps/--pad-type apply to the "
+                "efficientnet encoder family only; this checkpoint is "
+                f"{hparams['architecture']}/{hparams['encoder_name']}"
+            )
     if args.try_conventions:
         combos = [(e, p) for e in (1e-3, 1e-5) for p in ("static", "same")]
     else:

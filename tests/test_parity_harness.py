@@ -240,3 +240,24 @@ def test_harness_unet_family_end_to_end(tmp_path):
     assert tuple(report["hparams"]["decoder_channels"]) == (16, 16, 8, 8, 8)
     assert report["key_audit"]["unrecognized_keys"] == []
     assert report["shards"]["n_samples"] == 4
+
+
+def test_harness_conventions_rejected_for_unet(tmp_path):
+    """bn-eps/pad-type are efficientnet-specific; a unet checkpoint gets a
+    clear CLI error instead of a deep TypeError from the resnet builder."""
+    from tests.test_convert_unet import _torch_unet
+
+    torch.manual_seed(2)
+    tmodel = _torch_unet().eval()
+    sd = {f"model.{k}": v for k, v in tmodel.state_dict().items()}
+    ckpt = tmp_path / "unet.ckpt"
+    torch.save({"state_dict": sd}, str(ckpt))
+    shard = tmp_path / "s-000000.tar"
+    _write_shard(shard, 2, size=32, seed=1)
+    with pytest.raises(SystemExit):
+        main([
+            "--torch-ckpt", str(ckpt),
+            "--shard", str(shard),
+            "--try-conventions",
+            "--out", str(tmp_path / "o.json"),
+        ])
