@@ -155,9 +155,12 @@ class ArtifactCache:
             artifact = Path(artifact)
             ptr = pointer_path(artifact)
             if ptr.exists():
-                record = read_pointer(ptr)
-                # refresh a stale pointer (artifact edited since)
-                if artifact.stat().st_size != record["size"]:
+                # FULL verification before trusting the recorded hash: a
+                # same-size edit would otherwise store the NEW content
+                # under the OLD hash — silent cache poisoning
+                try:
+                    record = verify_pointer(artifact, ptr)
+                except ValueError:
                     write_pointer(artifact)
                     record = read_pointer(ptr)
             else:

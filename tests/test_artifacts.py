@@ -260,3 +260,24 @@ def test_pipeline_repro_flow_and_lock(tmp_path, monkeypatch):
     (tmp_path / "raw.txt").write_text("CHANGED!!")
     run()
     assert (tmp_path / "b.out").read_text() == "CHANGED!!" * 2
+
+
+def test_push_rehashes_same_size_edit(tmp_path):
+    """A same-size content edit between pushes must store the NEW content
+    under the NEW hash — trusting the stale pointer would poison the
+    cache (new bytes filed under the old digest)."""
+    cache = ArtifactCache(tmp_path / "cache")
+    a = _blob(tmp_path, "a.tar", b"OLD!" * 256)
+    cache.push([a])
+    old_sha = read_pointer(pointer_path(a))["sha256"]
+
+    a.write_bytes(b"NEW!" * 256)  # same size, different content
+    results = cache.push([a])
+    new_sha = read_pointer(pointer_path(a))["sha256"]
+    assert new_sha != old_sha
+    assert results[0]["sha256"] == new_sha
+    assert cache.has(new_sha) and cache.has(old_sha)
+    # pull restores the NEW content
+    a.unlink()
+    cache.pull([pointer_path(a)])
+    assert a.read_bytes() == b"NEW!" * 256
