@@ -117,7 +117,10 @@ def sniff_network(sd: dict) -> dict:
                 if k.startswith(f"{pref}encoder.layer")
             }
         )
-        out["encoder_name"] = {8: "resnet18", 16: "resnet34"}.get(n_blocks)
+        if f"{pref}encoder.layer1.0.conv3.weight" in keys:
+            out["encoder_name"] = "resnet50"  # bottleneck: 3 convs/block
+        else:
+            out["encoder_name"] = {8: "resnet18", 16: "resnet34"}.get(n_blocks)
         if out["encoder_name"] is None:
             raise ValueError(f"resnet block count {n_blocks} matches neither 18 nor 34")
     else:

@@ -261,3 +261,15 @@ def test_harness_conventions_rejected_for_unet(tmp_path):
             "--try-conventions",
             "--out", str(tmp_path / "o.json"),
         ])
+
+
+def test_sniff_network_resnet50_vs_34():
+    """Both have 16 blocks; the bottleneck's conv3 disambiguates."""
+    sd = {"model.encoder.conv1.weight": np.zeros((64, 4, 7, 7))}
+    for stage, n in zip((1, 2, 3, 4), (3, 4, 6, 3)):
+        for b in range(n):
+            for c in ("conv1", "conv2", "conv3"):
+                sd[f"model.encoder.layer{stage}.{b}.{c}.weight"] = np.zeros((1,))
+    assert sniff_network(sd)["encoder_name"] == "resnet50"
+    sd34 = {k: v for k, v in sd.items() if not k.endswith("conv3.weight")}
+    assert sniff_network(sd34)["encoder_name"] == "resnet34"
