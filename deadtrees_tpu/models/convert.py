@@ -375,6 +375,68 @@ def convert_unet_checkpoint(
     }
 
 
+def convert_resunet_checkpoint(
+    sd: Dict[str, Any], *, encoder_name: str = "resnet18"
+) -> Dict[str, Dict]:
+    """Reference ResUnet (resunet/decoder.py:8-134) Lightning state dict →
+    flax SegmentationModel variables.
+
+    Same ``conv{1,2}.0``-conv/``.1``-BN pair scheme as the Unet — despite
+    its docstring the reference's PreActivatedConv2dReLU is ALSO
+    ``Sequential(conv, bn, relu)`` (modules.py ``super().__init__(conv,
+    bn, relu)``) — plus a per-block 1×1 ``identity_conv`` (with bias) for
+    the additive skip path, and a 1×1 segmentation head
+    (resunet/model.py:92).
+    """
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    key = encoder_name.lower().replace("timm-", "")
+    if key not in _RESNET_GEOMETRY:
+        raise ValueError(
+            f"convert_resunet_checkpoint covers resnet encoders "
+            f"({sorted(_RESNET_GEOMETRY)}); got {encoder_name!r}"
+        )
+    stage_sizes, block = _RESNET_GEOMETRY[key]
+    enc_p, enc_s = convert_resnet_encoder(sd, stage_sizes=stage_sizes, block=block)
+
+    n_blocks = len({
+        k.split(".")[2] for k in sd if k.startswith("decoder.blocks.")
+    })
+    if n_blocks == 0:
+        raise ValueError("no decoder.blocks.* keys in state dict")
+    dec_p: Dict[str, Any] = {}
+    dec_s: Dict[str, Any] = {}
+    for i in range(n_blocks):
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        for j, conv in enumerate(("conv1", "conv2")):
+            prefix = f"decoder.blocks.{i}.{conv}"
+            cba_p: Dict[str, Any] = {"Conv_0": _convert_conv(f"{prefix}.0", sd)}
+            cba_s: Dict[str, Any] = {}
+            if f"{prefix}.1.running_mean" in sd:
+                cba_p["BatchNorm_0"], cba_s["BatchNorm_0"] = convert_bn(
+                    f"{prefix}.1", sd
+                )
+            bp[f"ConvBnAct_{j}"] = cba_p
+            bs[f"ConvBnAct_{j}"] = cba_s
+        # flax ResUnetDecoderBlock: the identity 1x1 is the block's only
+        # bare nn.Conv -> auto-named Conv_0
+        bp["Conv_0"] = _convert_conv(f"decoder.blocks.{i}.identity_conv", sd)
+        dec_p[f"block_{i}"] = bp
+        dec_s[f"block_{i}"] = bs
+
+    head = _convert_conv("segmentation_head.0", sd)
+    return {
+        "params": {
+            "encoder": enc_p,
+            "decoder": dec_p,
+            "segmentation_head": {"Conv_0": head},
+        },
+        "batch_stats": {"encoder": enc_s, "decoder": dec_s},
+    }
+
+
 def _natural_key(name: str) -> Tuple[str, int]:
     """Sort key giving linen's auto-numbering order: ``MBConv_2`` before
     ``MBConv_10`` (plain string sort breaks at >=10 numbered siblings)."""

@@ -137,6 +137,11 @@ def sniff_network(sd: dict) -> dict:
     if any(k.startswith(f"{pref}decoder.blocks.x_") for k in keys):
         out["architecture"] = "efficientunet++"
     elif any(
+        re.match(rf"{re.escape(pref)}decoder\.blocks\.\d+\.identity_conv\.", k)
+        for k in keys
+    ):
+        out["architecture"] = "resunet"  # additive 1x1 skip per block
+    elif any(
         re.match(rf"{re.escape(pref)}decoder\.blocks\.\d+\.conv1\.0\.", k)
         for k in keys
     ):
@@ -166,6 +171,7 @@ _CONSUMED_KEY_PATTERNS = [
     r"^encoder\.blocks\.\d+\.\d+\.se\.conv_(reduce|expand)\.(weight|bias)$",
     r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.block\.[013478]\.",
     r"^decoder\.blocks\.\d+\.conv[12]\.[01]\.",  # smp Unet Conv2dReLU pairs
+    r"^decoder\.blocks\.\d+\.identity_conv\.",   # resunet additive skips
     r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.block\.6\.[cs]SE\.",
     r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.skip_conv\.[01]\.",
     r"^segmentation_head\.0\.(weight|bias)$",
@@ -210,7 +216,7 @@ def derive_decoder_channels(sd: dict, architecture: str):
     conv's output channels. Works for both families (unet Conv2dReLU
     stacks; effunet dense-grid column x_0_l project convs)."""
     try:
-        if architecture == "unet":
+        if architecture in ("unet", "resunet"):
             idxs = sorted({
                 int(k.split(".")[2]) for k in sd
                 if re.match(r"decoder\.blocks\.\d+\.", k)
@@ -291,10 +297,14 @@ def convert_reference_checkpoint(
         from deadtrees_tpu.models.convert import convert_unet_checkpoint
 
         variables = convert_unet_checkpoint(sd, encoder_name=encoder_name)
+    elif architecture == "resunet":
+        from deadtrees_tpu.models.convert import convert_resunet_checkpoint
+
+        variables = convert_resunet_checkpoint(sd, encoder_name=encoder_name)
     else:
         raise NotImplementedError(
             f"parity conversion covers efficientunet++ (the model of "
-            f"record) and unet/resnet (the sweep grid); got {architecture}."
+            f"record) and unet/resunet (the sweep grid); got {architecture}."
         )
     return variables, hparams, key_audit
 

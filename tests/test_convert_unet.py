@@ -123,3 +123,102 @@ def test_convert_unet_rejects_unknown_encoder():
             {"decoder.blocks.0.conv1.0.weight": np.zeros((1,))},
             encoder_name="timm-efficientnet-b5",
         )
+
+
+def _torch_resunet(in_ch=4, classes=3, dec_ch=DEC_CH):
+    """Reference ResUnet re-statement (resunet/decoder.py:8-134,
+    model.py:92): Unet-like blocks with an additive 1x1-projected identity
+    path and a 1x1 segmentation head."""
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    def conv_bn_relu(cin, cout):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1, bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU(inplace=True),
+        )
+
+    class Block(nn.Module):
+        def __init__(self, cin, skip, cout):
+            super().__init__()
+            self.conv1 = conv_bn_relu(cin + skip, cout)
+            self.conv2 = conv_bn_relu(cout, cout)
+            self.identity_conv = nn.Conv2d(cin + skip, cout, 1)
+
+        def forward(self, x, skip=None):
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+            if skip is not None:
+                x = torch.cat([x, skip], dim=1)
+            identity = x
+            x = self.conv2(self.conv1(x))
+            return x + self.identity_conv(identity)
+
+    class ResUnet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = _torch_resnet18(in_ch)
+            enc = [512, 256, 128, 64, 64]
+            ins = [enc[0]] + list(dec_ch[:-1])
+            skips = enc[1:] + [0]
+            self.decoder = nn.Module()
+            self.decoder.blocks = nn.ModuleList(
+                [Block(i, s, o) for i, s, o in zip(ins, skips, dec_ch)]
+            )
+            self.segmentation_head = nn.Sequential(
+                nn.Conv2d(dec_ch[-1], classes, 1)  # model.py:92 kernel 1
+            )
+
+        def forward(self, x):
+            feats = self.encoder(x)[1:][::-1]
+            h, skips = feats[0], feats[1:]
+            for i, block in enumerate(self.decoder.blocks):
+                h = block(h, skips[i] if i < len(skips) else None)
+            return self.segmentation_head(h)
+
+    return ResUnet()
+
+
+def test_convert_resunet_logits_parity():
+    from deadtrees_tpu.models.convert import convert_resunet_checkpoint
+
+    torch.manual_seed(6)
+    tmodel = _torch_resunet().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.3)
+
+    sd = {f"model.{k}": v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_resunet_checkpoint(sd, encoder_name="resnet18")
+
+    model = create_model(
+        "resunet", "resnet18", in_channels=4, classes=3,
+        decoder_channels=DEC_CH, dtype=jnp.float32,
+    )
+    ref = init_model(model, jax.random.PRNGKey(0), image_size=64)
+    ref_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(ref["params"])
+    }
+    got_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(variables["params"])
+    }
+    assert ref_paths == got_paths, (
+        f"missing={sorted(ref_paths - got_paths)[:5]} "
+        f"extra={sorted(got_paths - ref_paths)[:5]}"
+    )
+
+    x = np.random.default_rng(6).normal(size=(1, 64, 64, 4)).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_logits = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    j_nchw = np.asarray(j_logits).transpose(0, 3, 1, 2)
+    assert j_nchw.shape == t_logits.shape
+    err = np.abs(j_nchw - t_logits).max()
+    assert err < 2e-3, f"logits max err {err}"
+    np.testing.assert_array_equal(j_nchw.argmax(1), t_logits.argmax(1))

@@ -273,3 +273,30 @@ def test_sniff_network_resnet50_vs_34():
     assert sniff_network(sd)["encoder_name"] == "resnet50"
     sd34 = {k: v for k, v in sd.items() if not k.endswith("conv3.weight")}
     assert sniff_network(sd34)["encoder_name"] == "resnet34"
+
+
+def test_harness_resunet_family_end_to_end(tmp_path):
+    from tests.test_convert_unet import _torch_resunet
+
+    torch.manual_seed(13)
+    tmodel = _torch_resunet().eval()
+    sd = {f"model.{k}": v for k, v in tmodel.state_dict().items()}
+    ckpt = tmp_path / "resunet_sweep.ckpt"
+    torch.save({"state_dict": sd}, str(ckpt))
+
+    shard = tmp_path / "test-000000.tar"
+    _write_shard(shard, 4, size=32, seed=31)
+    out = tmp_path / "parity_resunet.json"
+    rc = main([
+        "--torch-ckpt", str(ckpt),
+        "--shard", str(shard),
+        "--batch", "4",
+        "--save-converted", str(tmp_path / "resunet_conv.ckpt"),
+        "--out", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["hparams"]["architecture"] == "resunet"
+    assert tuple(report["hparams"]["decoder_channels"]) == (16, 16, 8, 8, 8)
+    assert report["key_audit"]["unrecognized_keys"] == []
+    assert report["shards"]["n_samples"] == 4
