@@ -315,6 +315,25 @@ _RESNET_GEOMETRY = {
 }
 
 
+def _convert_encoder_for(encoder_name: str, sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """Route the encoder half of a checkpoint by family (the reference
+    sweep grid crosses every architecture with both encoder families,
+    sweep.yaml:16-33)."""
+    key = encoder_name.lower().replace("timm-", "")
+    if key in _RESNET_GEOMETRY:
+        stage_sizes, block = _RESNET_GEOMETRY[key]
+        return convert_resnet_encoder(sd, stage_sizes=stage_sizes, block=block)
+    from deadtrees_tpu.models.encoders import _EFFNET_PARAMS
+
+    if key in _EFFNET_PARAMS:
+        w, d = _EFFNET_PARAMS[key]
+        return convert_efficientnet_encoder(sd, w, d)
+    raise ValueError(
+        f"unknown encoder family for conversion: {encoder_name!r} "
+        f"(resnet18/34/50 or efficientnet-b0..b7)"
+    )
+
+
 def convert_unet_checkpoint(
     sd: Dict[str, Any], *, encoder_name: str = "resnet18"
 ) -> Dict[str, Dict]:
@@ -332,14 +351,7 @@ def convert_unet_checkpoint(
     if any(k.startswith("model.") for k in sd):
         sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
 
-    key = encoder_name.lower().replace("timm-", "")
-    if key not in _RESNET_GEOMETRY:
-        raise ValueError(
-            f"convert_unet_checkpoint covers resnet encoders "
-            f"({sorted(_RESNET_GEOMETRY)}); got {encoder_name!r}"
-        )
-    stage_sizes, block = _RESNET_GEOMETRY[key]
-    enc_p, enc_s = convert_resnet_encoder(sd, stage_sizes=stage_sizes, block=block)
+    enc_p, enc_s = _convert_encoder_for(encoder_name, sd)
 
     n_blocks = len({
         k.split(".")[2] for k in sd if k.startswith("decoder.blocks.")
@@ -391,14 +403,7 @@ def convert_resunet_checkpoint(
     if any(k.startswith("model.") for k in sd):
         sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
 
-    key = encoder_name.lower().replace("timm-", "")
-    if key not in _RESNET_GEOMETRY:
-        raise ValueError(
-            f"convert_resunet_checkpoint covers resnet encoders "
-            f"({sorted(_RESNET_GEOMETRY)}); got {encoder_name!r}"
-        )
-    stage_sizes, block = _RESNET_GEOMETRY[key]
-    enc_p, enc_s = convert_resnet_encoder(sd, stage_sizes=stage_sizes, block=block)
+    enc_p, enc_s = _convert_encoder_for(encoder_name, sd)
 
     n_blocks = len({
         k.split(".")[2] for k in sd if k.startswith("decoder.blocks.")
@@ -434,6 +439,58 @@ def convert_resunet_checkpoint(
             "segmentation_head": {"Conv_0": head},
         },
         "batch_stats": {"encoder": enc_s, "decoder": dec_s},
+    }
+
+
+def convert_unetpp_checkpoint(
+    sd: Dict[str, Any], *, encoder_name: str = "resnet18"
+) -> Dict[str, Dict]:
+    """smp UnetPlusPlus (resnet encoder) Lightning state dict → flax
+    SegmentationModel variables.
+
+    The dense grid shares the cell naming of the vendored efficientunet++
+    decoder (``decoder.blocks.x_{d}_{l}`` — the vendored code IS smp's
+    unetplusplus decoder with different blocks), but each cell is a pair
+    of Conv2dReLU stacks instead of inverted residuals. Maps onto
+    ``decoder/_DenseGridDecoder_0/x_{d}_{l}/ConvBnAct_{0,1}``.
+    """
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    enc_p, enc_s = _convert_encoder_for(encoder_name, sd)
+
+    cells = sorted({
+        k.split(".")[2] for k in sd if k.startswith("decoder.blocks.x_")
+    })
+    if not cells:
+        raise ValueError("no decoder.blocks.x_* keys in state dict")
+    grid_p: Dict[str, Any] = {}
+    grid_s: Dict[str, Any] = {}
+    for cell in cells:
+        cp: Dict[str, Any] = {}
+        cs: Dict[str, Any] = {}
+        for j, conv in enumerate(("conv1", "conv2")):
+            prefix = f"decoder.blocks.{cell}.{conv}"
+            p: Dict[str, Any] = {"Conv_0": _convert_conv(f"{prefix}.0", sd)}
+            s: Dict[str, Any] = {}
+            if f"{prefix}.1.running_mean" in sd:
+                p["BatchNorm_0"], s["BatchNorm_0"] = convert_bn(f"{prefix}.1", sd)
+            cp[f"ConvBnAct_{j}"] = p
+            cs[f"ConvBnAct_{j}"] = s
+        grid_p[cell] = cp
+        grid_s[cell] = cs
+
+    head = _convert_conv("segmentation_head.0", sd)
+    return {
+        "params": {
+            "encoder": enc_p,
+            "decoder": {"_DenseGridDecoder_0": grid_p},
+            "segmentation_head": {"Conv_0": head},
+        },
+        "batch_stats": {
+            "encoder": enc_s,
+            "decoder": {"_DenseGridDecoder_0": grid_s},
+        },
     }
 
 

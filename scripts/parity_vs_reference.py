@@ -134,8 +134,14 @@ def sniff_network(sd: dict) -> dict:
         hw = np.asarray(sd[head_key]).shape  # (classes, dec_last, 3, 3)
         out["classes"] = int(hw[0])
         out["head_in"] = int(hw[1])
-    if any(k.startswith(f"{pref}decoder.blocks.x_") for k in keys):
-        out["architecture"] = "efficientunet++"
+    if any(
+        re.match(rf"{re.escape(pref)}decoder\.blocks\.x_\d+_\d+\.conv1\.block\.",
+                 k)
+        for k in keys
+    ):
+        out["architecture"] = "efficientunet++"  # inverted-residual cells
+    elif any(k.startswith(f"{pref}decoder.blocks.x_") for k in keys):
+        out["architecture"] = "unet++"  # Conv2dReLU cells, same dense grid
     elif any(
         re.match(rf"{re.escape(pref)}decoder\.blocks\.\d+\.identity_conv\.", k)
         for k in keys
@@ -170,6 +176,7 @@ _CONSUMED_KEY_PATTERNS = [
     r"^encoder\.blocks\.\d+\.\d+\.bn[123]\.(weight|bias|running_mean|running_var)$",
     r"^encoder\.blocks\.\d+\.\d+\.se\.conv_(reduce|expand)\.(weight|bias)$",
     r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.block\.[013478]\.",
+    r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.[01]\.",  # unet++ Conv2dReLU cells
     r"^decoder\.blocks\.\d+\.conv[12]\.[01]\.",  # smp Unet Conv2dReLU pairs
     r"^decoder\.blocks\.\d+\.identity_conv\.",   # resunet additive skips
     r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.block\.6\.[cs]SE\.",
@@ -229,12 +236,14 @@ def derive_decoder_channels(sd: dict, architecture: str):
             int(k.split(".")[2].rsplit("_", 1)[1]) for k in sd
             if k.startswith("decoder.blocks.x_0_")
         })
-        return [
-            int(np.asarray(
-                sd[f"decoder.blocks.x_0_{l}.conv1.block.7.weight"]
-            ).shape[0])
-            for l in cols
-        ]
+        out = []
+        for l in cols:
+            cell = f"decoder.blocks.x_0_{l}.conv1"
+            if f"{cell}.block.7.weight" in sd:  # IR project conv (effunet)
+                out.append(int(np.asarray(sd[f"{cell}.block.7.weight"]).shape[0]))
+            else:  # Conv2dReLU cell (unet++)
+                out.append(int(np.asarray(sd[f"{cell}.0.weight"]).shape[0]))
+        return out
     except Exception:
         return None
 
@@ -301,10 +310,15 @@ def convert_reference_checkpoint(
         from deadtrees_tpu.models.convert import convert_resunet_checkpoint
 
         variables = convert_resunet_checkpoint(sd, encoder_name=encoder_name)
+    elif architecture in ("unet++", "unetplusplus"):
+        from deadtrees_tpu.models.convert import convert_unetpp_checkpoint
+
+        variables = convert_unetpp_checkpoint(sd, encoder_name=encoder_name)
     else:
         raise NotImplementedError(
             f"parity conversion covers efficientunet++ (the model of "
-            f"record) and unet/resunet (the sweep grid); got {architecture}."
+            f"record) and unet/unet++/resunet (the sweep grid); got "
+            f"{architecture}."
         )
     return variables, hparams, key_audit
 

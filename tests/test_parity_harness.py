@@ -300,3 +300,29 @@ def test_harness_resunet_family_end_to_end(tmp_path):
     assert tuple(report["hparams"]["decoder_channels"]) == (16, 16, 8, 8, 8)
     assert report["key_audit"]["unrecognized_keys"] == []
     assert report["shards"]["n_samples"] == 4
+
+
+def test_harness_unetpp_family_end_to_end(tmp_path):
+    from tests.test_convert_unet import _torch_unetpp
+
+    torch.manual_seed(17)
+    tmodel = _torch_unetpp().eval()
+    sd = {f"model.{k}": v for k, v in tmodel.state_dict().items()}
+    ckpt = tmp_path / "unetpp_sweep.ckpt"
+    torch.save({"state_dict": sd}, str(ckpt))
+
+    shard = tmp_path / "test-000000.tar"
+    _write_shard(shard, 4, size=32, seed=41)
+    out = tmp_path / "parity_unetpp.json"
+    rc = main([
+        "--torch-ckpt", str(ckpt),
+        "--shard", str(shard),
+        "--batch", "4",
+        "--save-converted", str(tmp_path / "unetpp_conv.ckpt"),
+        "--out", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["hparams"]["architecture"] == "unet++"
+    assert tuple(report["hparams"]["decoder_channels"]) == (16, 16, 8, 8, 8)
+    assert report["key_audit"]["unrecognized_keys"] == []
