@@ -283,19 +283,30 @@ def convert_effunetpp_decoder(sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
 
 
 def convert_effunetpp_checkpoint(
-    sd: Dict[str, Any], *, width_mult: float, depth_mult: float
+    sd: Dict[str, Any], *, width_mult: float = None, depth_mult: float = None,
+    encoder_name: str = None,
 ) -> Dict[str, Dict]:
-    """Full flagship (EfficientUnet++ / timm-efficientnet encoder) Lightning
-    state dict → ``{"params", "batch_stats"}`` for
+    """Full flagship (EfficientUnet++ decoder) Lightning state dict →
+    ``{"params", "batch_stats"}`` for
     :class:`deadtrees_tpu.models.factory.SegmentationModel`.
 
     Accepts the reference checkpoint's ``model.`` prefix
-    (segmodel.py ``self.model``) or bare smp naming.
+    (segmodel.py ``self.model``) or bare smp naming. Pass
+    ``width_mult``/``depth_mult`` for a timm-efficientnet encoder, or
+    ``encoder_name`` to route either family (the reference sweep crosses
+    efficientunet++ with resnet34 too, sweep.yaml encoder values).
     """
     if any(k.startswith("model.") for k in sd):
         sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
 
-    enc_p, enc_s = convert_efficientnet_encoder(sd, width_mult, depth_mult)
+    if width_mult is not None and depth_mult is not None:
+        enc_p, enc_s = convert_efficientnet_encoder(sd, width_mult, depth_mult)
+    elif encoder_name is not None:
+        enc_p, enc_s = _convert_encoder_for(encoder_name, sd)
+    else:
+        raise ValueError(
+            "pass width_mult/depth_mult (efficientnet) or encoder_name"
+        )
     dec_p, dec_s = convert_effunetpp_decoder(sd)
     head = _convert_conv("segmentation_head.0", sd)
     return {
@@ -491,6 +502,114 @@ def convert_unetpp_checkpoint(
             "encoder": enc_s,
             "decoder": {"_DenseGridDecoder_0": grid_s},
         },
+    }
+
+
+def _convert_aspp(prefix: str, sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """Reference ASPP (resunetplusplus/decoder.py:8-78) → flax blocks.ASPP.
+
+    Four ``Sequential(conv, ReLU, BN)`` branches — BN at index **2**, after
+    the activation — in order rates (6, 12, 18) then the plain 3×3
+    (aspp_block4), then the 1×1 ``output`` merge. Flax auto-naming gives
+    Conv_0..3/BatchNorm_0..3 in the same call order, merge = Conv_4.
+    Every conv carries a bias (plain nn.Conv2d defaults).
+    """
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    for k in range(4):
+        blk = f"{prefix}.aspp_block{k + 1}"
+        p[f"Conv_{k}"] = _convert_conv(f"{blk}.0", sd)
+        p[f"BatchNorm_{k}"], s[f"BatchNorm_{k}"] = convert_bn(f"{blk}.2", sd)
+    p["Conv_4"] = _convert_conv(f"{prefix}.output", sd)
+    return p, s
+
+
+def _convert_rupp_attention(
+    prefix: str, sd: Dict[str, Any], *, has_skip: bool
+) -> Tuple[Dict, Dict]:
+    """Reference AttentionBlock (resunetplusplus/decoder.py:81-117) → flax
+    blocks.RUPPAttentionBlock.
+
+    Three ``Sequential(BN, ReLU, conv, [pool])`` stacks — BN at 0, conv at
+    2 — called in flax order decoder_conv, encoder_conv (skip only),
+    attn_conv; linen numbers BatchNorm/Conv by call order, so the
+    attn_conv pair lands at index 2 with a skip and index 1 without
+    (the last decoder block has ``skip_channels == 0`` and the reference
+    never constructs its ``encoder_conv``, decoder.py:87-97).
+    """
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    stacks = ["decoder_conv"] + (["encoder_conv"] if has_skip else [])
+    stacks += ["attn_conv"]
+    for i, stack in enumerate(stacks):
+        p[f"BatchNorm_{i}"], s[f"BatchNorm_{i}"] = convert_bn(
+            f"{prefix}.{stack}.0", sd
+        )
+        p[f"Conv_{i}"] = _convert_conv(f"{prefix}.{stack}.2", sd)
+    return p, s
+
+
+def convert_resunetpp_checkpoint(
+    sd: Dict[str, Any], *, encoder_name: str = "resnet34"
+) -> Dict[str, Dict]:
+    """Reference ResUnet++ (resunetplusplus/decoder.py:120-225,
+    model.py:62-104) Lightning state dict → flax SegmentationModel
+    variables — the fifth and last sweep-grid architecture
+    (reference sweep.yaml architecture values).
+
+    Layout: ASPP ``center`` bridge, per-block pre-upsample attention gate
+    (``attention0``) + PreActivatedConv2dReLU pair (actually conv-bn-relu
+    ordered, modules.py:50) + 1×1 additive ``identity_conv``, and a final
+    ASPP halving the doubled internal widths back before the 1×1 head.
+    """
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    enc_p, enc_s = _convert_encoder_for(encoder_name, sd)
+
+    n_blocks = len({
+        k.split(".")[2] for k in sd if k.startswith("decoder.blocks.")
+    })
+    if n_blocks == 0:
+        raise ValueError("no decoder.blocks.* keys in state dict")
+
+    dec_p: Dict[str, Any] = {}
+    dec_s: Dict[str, Any] = {}
+    dec_p["center"], dec_s["center"] = _convert_aspp("decoder.center", sd)
+    for i in range(n_blocks):
+        pre = f"decoder.blocks.{i}"
+        has_skip = f"{pre}.attention0.encoder_conv.0.weight" in sd
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        bp["RUPPAttentionBlock_0"], bs["RUPPAttentionBlock_0"] = (
+            _convert_rupp_attention(f"{pre}.attention0", sd, has_skip=has_skip)
+        )
+        for j, conv in enumerate(("conv1", "conv2")):
+            cba_p: Dict[str, Any] = {
+                "Conv_0": _convert_conv(f"{pre}.{conv}.0", sd)
+            }
+            cba_s: Dict[str, Any] = {}
+            if f"{pre}.{conv}.1.running_mean" in sd:
+                cba_p["BatchNorm_0"], cba_s["BatchNorm_0"] = convert_bn(
+                    f"{pre}.{conv}.1", sd
+                )
+            bp[f"ConvBnAct_{j}"] = cba_p
+            bs[f"ConvBnAct_{j}"] = cba_s
+        bp["Conv_0"] = _convert_conv(f"{pre}.identity_conv", sd)
+        dec_p[f"block_{i}"] = bp
+        dec_s[f"block_{i}"] = bs
+    dec_p["final_aspp"], dec_s["final_aspp"] = _convert_aspp(
+        "decoder.final_aspp", sd
+    )
+
+    head = _convert_conv("segmentation_head.0", sd)
+    return {
+        "params": {
+            "encoder": enc_p,
+            "decoder": dec_p,
+            "segmentation_head": {"Conv_0": head},
+        },
+        "batch_stats": {"encoder": enc_s, "decoder": dec_s},
     }
 
 

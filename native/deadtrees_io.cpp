@@ -93,6 +93,7 @@ static uint32_t rd32(const uint8_t* p) {
 struct TiffInfo {
   uint32_t width = 0, height = 0;
   uint16_t samples = 1, bits = 8, compression = 1, predictor = 1;
+  uint16_t planar = 1;  // tag 284: only chunky (1) is supported
   uint32_t rows_per_strip = 0xFFFFFFFF;
   std::vector<uint32_t> strip_offsets, strip_counts;
   // tiled layout (tags 322-325) — GDAL's default for orthophotos and what
@@ -112,17 +113,20 @@ static bool parse_ifd(const uint8_t* d, int64_t size, TiffInfo* info) {
     uint16_t tag = rd16(e), type = rd16(e + 2);
     uint32_t count = rd32(e + 4);
     uint32_t value = (type == 3) ? rd16(e + 8) : rd32(e + 8);
-    auto read_array = [&](std::vector<uint32_t>* out) {
+    auto read_array = [&](std::vector<uint32_t>* out) -> bool {
       out->resize(count);
       if (count == 1) {
         (*out)[0] = value;
-        return;
+        return true;
       }
       uint32_t off = rd32(e + 8);
+      int64_t elem = (type == 3) ? 2 : 4;
+      if ((int64_t)off + elem * (int64_t)count > size) return false;
       for (uint32_t k = 0; k < count; ++k) {
-        const uint8_t* q = d + off + (type == 3 ? 2 : 4) * k;
+        const uint8_t* q = d + off + elem * k;
         (*out)[k] = (type == 3) ? rd16(q) : rd32(q);
       }
+      return true;
     };
     switch (tag) {
       case 256: info->width = value; break;
@@ -139,15 +143,16 @@ static bool parse_ifd(const uint8_t* d, int64_t size, TiffInfo* info) {
         break;
       }
       case 259: info->compression = (uint16_t)value; break;
-      case 273: read_array(&info->strip_offsets); break;
+      case 273: if (!read_array(&info->strip_offsets)) return false; break;
       case 277: info->samples = (uint16_t)value; break;
       case 278: info->rows_per_strip = value; break;
-      case 279: read_array(&info->strip_counts); break;
+      case 279: if (!read_array(&info->strip_counts)) return false; break;
+      case 284: info->planar = (uint16_t)value; break;
       case 317: info->predictor = (uint16_t)value; break;
       case 322: info->tile_width = value; break;
       case 323: info->tile_length = value; break;
-      case 324: read_array(&info->tile_offsets); break;
-      case 325: read_array(&info->tile_counts); break;
+      case 324: if (!read_array(&info->tile_offsets)) return false; break;
+      case 325: if (!read_array(&info->tile_counts)) return false; break;
       default: break;
     }
   }
@@ -349,6 +354,10 @@ int tiff_decode(const uint8_t* data, int64_t size, uint8_t* out, int32_t* h,
   TiffInfo info;
   if (!parse_ifd(data, size, &info)) return -1;
   if (info.bits != 8) return -2;
+  // Band-interleaved (PlanarConfiguration=2) files have samples x
+  // ceil(h/rps) strips laid out per plane; this chunky-only decoder would
+  // mis-size every strip. Refuse so the Python caller falls back to PIL.
+  if (info.planar != 1) return -13;
   *h = (int32_t)info.height;
   *w = (int32_t)info.width;
   *c = (int32_t)info.samples;
@@ -359,6 +368,11 @@ int tiff_decode(const uint8_t* data, int64_t size, uint8_t* out, int32_t* h,
   int64_t row_bytes = (int64_t)info.width * info.samples;
   uint32_t rps = std::min<uint32_t>(info.rows_per_strip, info.height);
   if (rps == 0) rps = info.height;
+  // The strip table must cover the image exactly: one strip per rps rows.
+  // Anything else (e.g. a planar file that lied about tag 284, or a
+  // truncated table) would walk `di` past the caller's H*W*C buffer.
+  int64_t expect_strips = ((int64_t)info.height + rps - 1) / rps;
+  if ((int64_t)info.strip_offsets.size() != expect_strips) return -14;
 
   int64_t di = 0;
   for (size_t s = 0; s < info.strip_offsets.size(); ++s) {
@@ -367,6 +381,7 @@ int tiff_decode(const uint8_t* data, int64_t size, uint8_t* out, int32_t* h,
     if ((int64_t)off + cnt > size) return -3;
     int64_t strip_rows =
         std::min<int64_t>(rps, info.height - (int64_t)s * rps);
+    if (strip_rows <= 0) return -14;
     int64_t expect = strip_rows * row_bytes;
     int rc = decompress_segment(info.compression, data + off, cnt, out + di,
                                 expect);

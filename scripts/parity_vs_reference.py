@@ -1,5 +1,11 @@
 #!/usr/bin/env python
-"""One-command parity harness against the reference PyTorch checkpoint.
+"""One-command parity harness against the reference's trained artifacts.
+
+Accepts EITHER reference artifact: the Lightning ``.ckpt``
+(``--torch-ckpt``) or the ONNX export (``--onnx``, bestmodel.onnx —
+scripts/create_onnx.py:31-45; read first-party by models/onnx_io.py,
+which also resolves the two open encoder conventions structurally from
+the graph).
 
 The north-star accuracy claim (BASELINE.json: dice within ±0.002 of the
 reference checkpoint) is unprovable until the DVC artifact behind
@@ -142,6 +148,19 @@ def sniff_network(sd: dict) -> dict:
         out["architecture"] = "efficientunet++"  # inverted-residual cells
     elif any(k.startswith(f"{pref}decoder.blocks.x_") for k in keys):
         out["architecture"] = "unet++"  # Conv2dReLU cells, same dense grid
+    elif (
+        f"{pref}decoder.center.aspp_block1.0.weight" in keys
+        or any(
+            re.match(rf"{re.escape(pref)}decoder\.blocks\.\d+\.attention0\.",
+                     k)
+            for k in keys
+        )
+    ):
+        # MUST precede resunet: resunet++ blocks ALSO carry identity_conv
+        # + conv1/conv2 pairs; the ASPP center/attention0 keys are the
+        # distinguishing signature (ADVICE r4: the old order silently
+        # dropped the attention and ASPP weights)
+        out["architecture"] = "resunet++"
     elif any(
         re.match(rf"{re.escape(pref)}decoder\.blocks\.\d+\.identity_conv\.", k)
         for k in keys
@@ -178,7 +197,11 @@ _CONSUMED_KEY_PATTERNS = [
     r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.block\.[013478]\.",
     r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.[01]\.",  # unet++ Conv2dReLU cells
     r"^decoder\.blocks\.\d+\.conv[12]\.[01]\.",  # smp Unet Conv2dReLU pairs
-    r"^decoder\.blocks\.\d+\.identity_conv\.",   # resunet additive skips
+    r"^decoder\.blocks\.\d+\.identity_conv\.",   # resunet(++) additive skips
+    r"^decoder\.(center|final_aspp)\.aspp_block[1-4]\.[02]\.",  # resunet++
+    r"^decoder\.(center|final_aspp)\.output\.",
+    r"^decoder\.blocks\.\d+\.attention0\."
+    r"(encoder_conv|decoder_conv|attn_conv)\.[02]\.",
     r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.block\.6\.[cs]SE\.",
     r"^decoder\.blocks\.x_\d+_\d+\.conv[12]\.skip_conv\.[01]\.",
     r"^segmentation_head\.0\.(weight|bias)$",
@@ -223,15 +246,20 @@ def derive_decoder_channels(sd: dict, architecture: str):
     conv's output channels. Works for both families (unet Conv2dReLU
     stacks; effunet dense-grid column x_0_l project convs)."""
     try:
-        if architecture in ("unet", "resunet"):
+        if architecture in ("unet", "resunet", "resunet++", "resunetplusplus"):
             idxs = sorted({
                 int(k.split(".")[2]) for k in sd
                 if re.match(r"decoder\.blocks\.\d+\.", k)
             })
-            return [
+            widths = [
                 int(np.asarray(sd[f"decoder.blocks.{i}.conv1.0.weight"]).shape[0])
                 for i in idxs
             ]
+            if architecture in ("resunet++", "resunetplusplus"):
+                # internal widths are doubled (decoder.py:203: out_channels
+                # = [i * 2 for i in decoder_channels])
+                return [w // 2 for w in widths]
+            return widths
         cols = sorted({
             int(k.split(".")[2].rsplit("_", 1)[1]) for k in sd
             if k.startswith("decoder.blocks.x_0_")
@@ -258,12 +286,96 @@ def convert_reference_checkpoint(
     """Load + convert the Lightning checkpoint → (variables, hparams).
 
     ``decoder_channels=None`` derives the widths from the state dict."""
-    from deadtrees_tpu.models.convert import (
-        convert_effunetpp_checkpoint,
-        load_torch_state_dict,
-    )
+    from deadtrees_tpu.models.convert import load_torch_state_dict
 
     sd = load_torch_state_dict(torch_ckpt)
+    return _convert_state_dict(
+        sd, architecture=architecture, encoder_name=encoder_name,
+        decoder_channels=decoder_channels,
+    )
+
+
+def convert_reference_onnx(
+    onnx_path: Path,
+    *,
+    architecture: str = None,
+    encoder_name: str = None,
+    decoder_channels=None,
+    encoder_bn_eps: float = None,
+) -> tuple:
+    """Convert the reference's SECOND artifact: ``bestmodel.onnx``.
+
+    The reference exports it with ``opset_version=11,
+    do_constant_folding=True`` on the eval-mode model
+    (scripts/create_onnx.py:31-45, served by deployment/inference.py:
+    128-143 via onnxruntime). Those flags make torch fold every Conv+BN
+    pair (eval-peephole), so the graph may arrive fused; either way
+    models/onnx_io.py recovers a reference-layout state dict and the
+    normal sniff/convert path runs.
+
+    Returns ``(variables, hparams, key_audit, onnx_report)`` where
+    ``onnx_report`` carries the structural convention resolution
+    (docs/encoder_audit.md rows 14-15): BatchNormalization.epsilon values
+    and stride-2 Conv pads straight from the graph — no empirical sweep
+    needed. On a fused graph both conventions are embedded in the fused
+    weights; de-fusion reproduces them exactly for any model eps.
+    """
+    from deadtrees_tpu.models.onnx_io import (
+        read_onnx,
+        scan_conventions,
+        state_dict_from_onnx,
+    )
+
+    model = read_onnx(Path(onnx_path))
+    conventions = scan_conventions(model)
+    eps = encoder_bn_eps
+    if eps is None:
+        enc_eps = sorted({
+            v for k, v in conventions["bn_eps"].items()
+            if (k[len("model."):] if k.startswith("model.") else k)
+            .startswith("encoder.")
+        })
+        if enc_eps:
+            eps = enc_eps[0]  # structurally resolved from the graph
+            log.info("encoder BN epsilon read from ONNX graph: %g", eps)
+        else:
+            eps = 1e-3  # fused graph: eps is baked into the weights;
+            #             de-fusion is exact for whatever the model uses
+    sd, defuse = state_dict_from_onnx(model, encoder_bn_eps=eps)
+    variables, hparams, key_audit = _convert_state_dict(
+        sd, architecture=architecture, encoder_name=encoder_name,
+        decoder_channels=decoder_channels,
+    )
+    hparams["encoder_bn_eps"] = eps
+    if conventions["suggest_pad_type"]:
+        hparams["encoder_pad_type"] = conventions["suggest_pad_type"]
+        log.info("stride-2 padding convention read from ONNX graph: %s",
+                 conventions["suggest_pad_type"])
+    onnx_report = {
+        "opset": model.opset,
+        "fused_graph": defuse["fused_graph"],
+        "n_defused_pairs": len(defuse["defused_pairs"]),
+        "bn_eps_values": conventions["bn_eps_values"],
+        "suggest_pad_type": conventions["suggest_pad_type"],
+        "n_stride2_convs": len(conventions["stride2_pads"]),
+        "asymmetric_stride2_pads": sorted(
+            w for w, p in conventions["stride2_pads"].items()
+            if len(p) == 4 and (p[0] != p[2] or p[1] != p[3])
+        )[:10],
+        "encoder_bn_eps_used": eps,
+    }
+    return variables, hparams, key_audit, onnx_report
+
+
+def _convert_state_dict(
+    sd: dict,
+    *,
+    architecture: str = None,
+    encoder_name: str = None,
+    decoder_channels=None,
+) -> tuple:
+    from deadtrees_tpu.models.convert import convert_effunetpp_checkpoint
+
     sniffed = sniff_network(sd)
     architecture = architecture or sniffed["architecture"] or "efficientunet++"
     encoder_name = encoder_name or sniffed["encoder_name"]
@@ -300,8 +412,9 @@ def convert_reference_checkpoint(
     key_audit = audit_state_dict_keys(sd_bare)
 
     if architecture in ("efficientunet++", "efficientunetplusplus"):
-        w, d = _effnet_mults(encoder_name)
-        variables = convert_effunetpp_checkpoint(sd, width_mult=w, depth_mult=d)
+        # either encoder family (the sweep crosses efficientunet++ with
+        # resnet34 as well, sweep.yaml encoder values)
+        variables = convert_effunetpp_checkpoint(sd, encoder_name=encoder_name)
     elif architecture == "unet":
         from deadtrees_tpu.models.convert import convert_unet_checkpoint
 
@@ -314,10 +427,14 @@ def convert_reference_checkpoint(
         from deadtrees_tpu.models.convert import convert_unetpp_checkpoint
 
         variables = convert_unetpp_checkpoint(sd, encoder_name=encoder_name)
+    elif architecture in ("resunet++", "resunetplusplus"):
+        from deadtrees_tpu.models.convert import convert_resunetpp_checkpoint
+
+        variables = convert_resunetpp_checkpoint(sd, encoder_name=encoder_name)
     else:
         raise NotImplementedError(
-            f"parity conversion covers efficientunet++ (the model of "
-            f"record) and unet/unet++/resunet (the sweep grid); got "
+            f"parity conversion covers the full sweep grid — "
+            f"efficientunet++/unet/unet++/resunet/resunet++ — got "
             f"{architecture}."
         )
     return variables, hparams, key_audit
@@ -464,8 +581,13 @@ def _score_conventions(variables, hp, converted, args) -> dict:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--torch-ckpt", type=Path, required=True,
+    ap.add_argument("--torch-ckpt", type=Path, default=None,
                     help="reference Lightning checkpoint (bestmodel.ckpt)")
+    ap.add_argument("--onnx", type=Path, default=None,
+                    help="reference ONNX export (bestmodel.onnx, the "
+                         "second DVC artifact) — either artifact suffices "
+                         "for parity; the ONNX graph additionally resolves "
+                         "the encoder conventions structurally")
     ap.add_argument("--shard", type=Path, nargs="*", default=[],
                     help="tar shard(s) with rgbn.tif + mask.tif samples")
     ap.add_argument("--scene", type=Path, default=None,
@@ -507,20 +629,46 @@ def main(argv=None) -> int:
 
     if not args.shard and not args.scene:
         ap.error("need --shard and/or --scene")
+    if bool(args.torch_ckpt) == bool(args.onnx):
+        ap.error("need exactly one of --torch-ckpt / --onnx")
 
     t0 = time.time()
-    variables, hparams, key_audit = convert_reference_checkpoint(
-        args.torch_ckpt,
-        architecture=args.architecture,
-        encoder_name=args.encoder_name,
-        decoder_channels=args.decoder_channels,
-    )
+    onnx_report = None
+    if args.onnx:
+        variables, hparams, key_audit, onnx_report = convert_reference_onnx(
+            args.onnx,
+            architecture=args.architecture,
+            encoder_name=args.encoder_name,
+            decoder_channels=args.decoder_channels,
+            encoder_bn_eps=args.bn_eps,
+        )
+        # the graph already settled the conventions: fold them into the
+        # single-combo path unless the user explicitly overrides
+        if args.bn_eps is None and "encoder_bn_eps" in hparams:
+            args.bn_eps = hparams["encoder_bn_eps"]
+        if args.pad_type is None and hparams.get("encoder_pad_type"):
+            args.pad_type = hparams["encoder_pad_type"]
+        if args.try_conventions and onnx_report["fused_graph"]:
+            log.info(
+                "--try-conventions on a FUSED onnx graph: BN eps is baked "
+                "into the fused weights (de-fusion is exact for any model "
+                "eps), so only the padding convention can differ"
+            )
+        source = args.onnx
+    else:
+        variables, hparams, key_audit = convert_reference_checkpoint(
+            args.torch_ckpt,
+            architecture=args.architecture,
+            encoder_name=args.encoder_name,
+            decoder_channels=args.decoder_channels,
+        )
+        source = args.torch_ckpt
 
     from deadtrees_tpu.core import save_checkpoint
 
     converted = args.save_converted
     if converted is None:
-        converted = args.out.parent / (args.torch_ckpt.stem + "_converted.ckpt")
+        converted = args.out.parent / (source.stem + "_converted.ckpt")
     converted.parent.mkdir(parents=True, exist_ok=True)
 
     if args.try_conventions or args.bn_eps or args.pad_type:
@@ -540,28 +688,45 @@ def main(argv=None) -> int:
         combos = [(args.bn_eps, args.pad_type)]
 
     report = {
-        "torch_ckpt": str(args.torch_ckpt),
+        "source_artifact": str(source),
+        "torch_ckpt": str(args.torch_ckpt) if args.torch_ckpt else None,
+        "onnx": onnx_report,
         "converted_ckpt": str(converted),
         "hparams": hparams,
         "key_audit": key_audit,
         "tolerance": args.tol,
     }
     convention_reports = {}
+    onnx_vars_cache = {}
     for bn_eps, pad_type in combos:
         hp = dict(hparams)
         if bn_eps is not None:
             hp["encoder_bn_eps"] = bn_eps
         if pad_type is not None:
             hp["encoder_pad_type"] = pad_type
+        cvars = variables
+        if (args.onnx and bn_eps is not None
+                and bn_eps != hparams.get("encoder_bn_eps")):
+            # fused-graph de-fusion synthesizes var = 1 - eps_model, so a
+            # different candidate eps needs its own conversion pass
+            if bn_eps not in onnx_vars_cache:
+                onnx_vars_cache[bn_eps] = convert_reference_onnx(
+                    args.onnx,
+                    architecture=args.architecture,
+                    encoder_name=args.encoder_name,
+                    decoder_channels=args.decoder_channels,
+                    encoder_bn_eps=bn_eps,
+                )[0]
+            cvars = onnx_vars_cache[bn_eps]
         save_checkpoint(
             converted,
-            params=variables["params"],
-            batch_stats=variables["batch_stats"],
+            params=cvars["params"],
+            batch_stats=cvars["batch_stats"],
             hparams=hp,
-            extra={"source": str(args.torch_ckpt),
+            extra={"source": str(source),
                    "converter": "parity_vs_reference"},
         )
-        sub = _score_conventions(variables, hp, converted, args)
+        sub = _score_conventions(cvars, hp, converted, args)
         convention_reports[f"bn_eps={bn_eps} pad={pad_type}"] = sub
 
     if args.try_conventions:
@@ -587,10 +752,11 @@ def main(argv=None) -> int:
             hp["encoder_bn_eps"] = float(eps_s)
         if pad_s != "None":
             hp["encoder_pad_type"] = pad_s
+        wvars = onnx_vars_cache.get(hp.get("encoder_bn_eps"), variables)
         save_checkpoint(
-            converted, params=variables["params"],
-            batch_stats=variables["batch_stats"], hparams=hp,
-            extra={"source": str(args.torch_ckpt),
+            converted, params=wvars["params"],
+            batch_stats=wvars["batch_stats"], hparams=hp,
+            extra={"source": str(source),
                    "converter": "parity_vs_reference"},
         )
         report["hparams"] = hp

@@ -104,11 +104,19 @@ def _out_record(path: Path) -> Dict:
                    and not p.name.endswith(".dtpu"))
     h = hashlib.sha256()
     total = 0
+    entries = []
     for f in files:
-        h.update(f"{f.relative_to(path)}:{hash_file(f)}\n".encode())
+        fh = hash_file(f)
+        h.update(f"{f.relative_to(path)}:{fh}\n".encode())
         total += f.stat().st_size
+        entries.append({"path": str(f.relative_to(path)), "sha256": fh,
+                        "size": f.stat().st_size})
+    # Per-file records make `pipeline.py pull` work on a fresh host where
+    # the directory (and the .dtpu pointers inside it) doesn't exist yet —
+    # DVC's committed-.dir-manifest semantic, carried in the lock instead.
     return {"path": str(path.relative_to(ROOT)), "sha256": h.hexdigest(),
-            "size": total, "nfiles": len(files), "dir": True}
+            "size": total, "nfiles": len(files), "dir": True,
+            "files": entries}
 
 
 def write_lock_entry(job: Dict, stamp: str) -> None:
@@ -134,6 +142,53 @@ def _collect_files(paths: List[Path]) -> List[Path]:
                 if f.is_file() and not f.name.endswith(".dtpu")
             )
     return out
+
+
+def _pointers_from_lock(target: Path) -> List[Path]:
+    """Materialize ``.dtpu`` pointers for a missing out from pipeline.lock.
+
+    On a fresh host the artifacts (and the pointers that live next to them)
+    don't exist; the lock's per-out records carry enough (sha256/size, and
+    per-file entries for directory outs) to recreate the pointers so
+    ``ArtifactCache.pull`` can restore the blobs — DVC's checkout-from-lock
+    semantic (reference keeps this in dvc.lock / .dvc files).
+    """
+    import json as _json
+
+    if not LOCK_FILE.exists():
+        return []
+    lock = _json.loads(LOCK_FILE.read_text())
+    try:
+        rel = str(target.relative_to(ROOT))
+    except ValueError:
+        rel = str(target)
+    made: List[Path] = []
+
+    def _write(artifact: Path, sha256: str, size: int) -> None:
+        from deadtrees_tpu.core.artifacts import pointer_path as _pp
+
+        ptr = _pp(artifact)
+        if ptr.exists():
+            return
+        artifact.parent.mkdir(parents=True, exist_ok=True)
+        ptr.write_text(_json.dumps(
+            {"sha256": sha256, "size": size, "path": artifact.name,
+             "from": "pipeline.lock"}, indent=1) + "\n")
+        made.append(ptr)
+
+    for entry in lock.values():
+        for out in entry.get("outs", []):
+            if out.get("path") != rel:
+                continue
+            if out.get("dir"):
+                for f in out.get("files", []):
+                    _write(ROOT / rel / f["path"], f["sha256"], f["size"])
+            else:
+                _write(ROOT / rel, out["sha256"], out["size"])
+    if made:
+        print(f"pull: recreated {len(made)} pointer(s) for {rel} "
+              "from pipeline.lock")
+    return made
 
 
 def sync_command(cmd: str, paths: List[str], cache_dir: Path,
@@ -166,8 +221,13 @@ def sync_command(cmd: str, paths: List[str], cache_dir: Path,
             p = pointer_path(t)
             if p.exists():
                 pointers.append(p)
+        if not pointers or all(not str(p).startswith(str(t)) for p in pointers):
+            # Fresh host: no pointers on disk for this out. Materialize them
+            # from the committed pipeline.lock (per-file records for dirs).
+            pointers.extend(_pointers_from_lock(t))
     if not pointers:
-        print("pull: no .dtpu pointers found for the requested paths")
+        print("pull: no .dtpu pointers found for the requested paths "
+              "(none on disk, none recoverable from pipeline.lock)")
         return 1
     results = cache.pull(pointers)
     n_restored = sum(r["restored"] for r in results)

@@ -26,8 +26,10 @@ import os
 import sys
 
 _n_dev = sys.argv[5] if len(sys.argv) > 5 else "1"
+# Append to (not overwrite) any caller/CI-provided XLA flags.
+_inherited = os.environ.get("XLA_FLAGS", "")
 os.environ["XLA_FLAGS"] = (
-    f"--xla_force_host_platform_device_count={_n_dev}"
+    f"{_inherited} --xla_force_host_platform_device_count={_n_dev}".strip()
 )
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

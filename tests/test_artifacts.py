@@ -281,3 +281,44 @@ def test_push_rehashes_same_size_edit(tmp_path):
     a.unlink()
     cache.pull([pointer_path(a)])
     assert a.read_bytes() == b"NEW!" * 256
+
+
+def test_pipeline_pull_fresh_host_from_lock(tmp_path, monkeypatch):
+    """ADVICE r4: on a fresh host the artifacts AND the .dtpu pointers next
+    to them are absent — pull must recreate pointers from the committed
+    pipeline.lock (per-file records for directory outs) and restore from
+    the cache, like `dvc checkout` works from dvc.lock alone."""
+    import scripts.pipeline as pl
+
+    out_file = tmp_path / "stats.json"
+    out_file.write_text('{"mean": 1}')
+    out_dir = tmp_path / "shards"
+    out_dir.mkdir()
+    (out_dir / "t-000000.tar").write_bytes(b"T" * 512)
+    (out_dir / "t-000001.tar").write_bytes(b"U" * 700)
+
+    monkeypatch.setattr(pl, "ROOT", tmp_path)
+    monkeypatch.setattr(pl, "LOCK_FILE", tmp_path / "pipeline.lock")
+    pl.write_lock_entry(
+        {"name": "createdataset@2019", "cmd": "true",
+         "outs": ["stats.json", "shards"]}, "stamp")
+    cfg = {"stages": {}}
+    assert pl.sync_command("push", ["stats.json", "shards"],
+                           tmp_path / "cache", cfg, None) == 0
+
+    sha_file = hash_file(out_file)
+    sha0 = hash_file(out_dir / "t-000000.tar")
+    sha1 = hash_file(out_dir / "t-000001.tar")
+    # fresh host: wipe artifacts AND pointers (the whole directory)
+    out_file.unlink()
+    import shutil
+
+    shutil.rmtree(out_dir)
+    for p in tmp_path.glob("*.dtpu"):
+        p.unlink()
+
+    assert pl.sync_command("pull", ["stats.json", "shards"],
+                           tmp_path / "cache", cfg, None) == 0
+    assert hash_file(out_file) == sha_file
+    assert hash_file(out_dir / "t-000000.tar") == sha0
+    assert hash_file(out_dir / "t-000001.tar") == sha1

@@ -12,6 +12,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
 
+import numpy as np
 import pytest
 
 import bench
@@ -77,3 +78,10 @@ def test_bench_scene_smoke_cpu():
         decoder_channels=(16, 8, 8, 8, 8),
     )
     assert tps > 0
+
+
+def test_d2h_preflight_returns_positive_rate():
+    """The attachment-state preflight (VERDICT r4 weak 6) must return a
+    finite MB/s figure on any backend (CPU here)."""
+    rate = bench.d2h_preflight(mb=4, tries=2)
+    assert np.isfinite(rate) and rate > 0

@@ -304,3 +304,116 @@ def test_tiled_tiff_in_shard_batch_decode(tmp_path):
     assert batch.shape == (4, 64, 64, 4)
     for i, img in enumerate(imgs):
         np.testing.assert_array_equal(batch[i], img)
+
+
+def _striped_tiff_bytes(img, rows_per_strip, planar=1, strip_payloads=None):
+    """Hand-craft a STRIP TIFF with explicit PlanarConfiguration (tag 284)
+    and an arbitrary strip table — fixtures PIL can't write, used to prove
+    the decoder REJECTS layouts it cannot represent instead of corrupting
+    memory (ADVICE r4 high: planar=2 reached memcpy with a negative size
+    cast to size_t, or returned rc=0 with 2/3 of the buffer unwritten)."""
+    import struct
+
+    h, w, c = img.shape
+    if strip_payloads is None:
+        if planar == 1:
+            strip_payloads = [
+                img[y0 : y0 + rows_per_strip].tobytes()
+                for y0 in range(0, h, rows_per_strip)
+            ]
+        else:  # planar: all rows of one band, then the next band…
+            strip_payloads = []
+            for band in range(c):
+                plane = np.ascontiguousarray(img[..., band])
+                strip_payloads.extend(
+                    plane[y0 : y0 + rows_per_strip].tobytes()
+                    for y0 in range(0, h, rows_per_strip)
+                )
+    n_strips = len(strip_payloads)
+    entries = 10
+    ifd_off = 8
+    ifd_size = 2 + entries * 12 + 4
+    off_pos = ifd_off + ifd_size
+    cnt_pos = off_pos + 4 * n_strips
+    bits_pos = cnt_pos + 4 * n_strips
+    data_pos = bits_pos + 2 * c
+    offsets, pos = [], data_pos
+    for p in strip_payloads:
+        offsets.append(pos)
+        pos += len(p)
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    ifd = struct.pack("<H", entries)
+    ifd += entry(256, 3, 1, w)
+    ifd += entry(257, 3, 1, h)
+    ifd += entry(258, 3, c, 8 if c == 1 else bits_pos)
+    ifd += entry(259, 3, 1, 1)  # uncompressed
+    ifd += entry(262, 3, 1, 2)
+    ifd += entry(273, 4, n_strips, off_pos if n_strips > 1 else offsets[0])
+    ifd += entry(277, 3, 1, c)
+    ifd += entry(278, 3, 1, rows_per_strip)
+    ifd += entry(279, 4, n_strips,
+                 cnt_pos if n_strips > 1 else len(strip_payloads[0]))
+    ifd += entry(284, 3, 1, planar)
+    ifd += struct.pack("<I", 0)
+
+    blob = struct.pack("<2sHI", b"II", 42, ifd_off) + ifd
+    if n_strips > 1:
+        blob += struct.pack(f"<{n_strips}I", *offsets)
+        blob += struct.pack(f"<{n_strips}I", *[len(p) for p in strip_payloads])
+    else:  # inline single-strip tables still occupy the reserved slots
+        blob += struct.pack("<I", 0) + struct.pack("<I", 0)
+    blob += struct.pack(f"<{c}H", *([8] * c))
+    blob += b"".join(strip_payloads)
+    return blob
+
+
+def test_chunky_handbuilt_fixture_decodes():
+    """Sanity: the hand-built strip writer produces files the decoder (and
+    PIL) agree on — so the rejection tests below test the tags, not a
+    broken fixture."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (12, 10, 3), dtype=np.uint8)
+    blob = _striped_tiff_bytes(img, rows_per_strip=5, planar=1)
+    np.testing.assert_array_equal(native.tiff_decode(blob), img)
+    np.testing.assert_array_equal(np.asarray(Image.open(io.BytesIO(blob))), img)
+
+
+def test_planar2_one_strip_per_plane_rejected():
+    """planar=2 with one strip per band previously returned rc=0 having
+    written only 1/3 of the output buffer (silent garbage into inference).
+    Must now refuse so read_geotiff falls back to PIL."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    blob = _striped_tiff_bytes(img, rows_per_strip=8, planar=2)
+    with pytest.raises(ValueError):
+        native.tiff_decode(blob)
+
+
+def test_planar2_multistrip_rejected():
+    """planar=2 with rows_per_strip < height: strips = samples x
+    ceil(h/rps); the extra strips previously drove strip_rows negative and
+    reached memcpy with (size_t)(-N). Must refuse cleanly."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    blob = _striped_tiff_bytes(img, rows_per_strip=4, planar=2)
+    with pytest.raises(ValueError):
+        native.tiff_decode(blob)
+
+
+def test_strip_table_mismatch_rejected():
+    """A chunky file whose strip table doesn't cover ceil(h/rps) strips
+    (truncated table, or a planar file lying about tag 284) must be
+    refused — the old loop walked di past the caller's H*W*C buffer."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    rows = [img[y0 : y0 + 2].tobytes() for y0 in range(0, 8, 2)]
+    # double table: 8 strips for a 4-strip image
+    blob = _striped_tiff_bytes(img, rows_per_strip=2, planar=1,
+                               strip_payloads=rows + rows)
+    with pytest.raises(ValueError):
+        native.tiff_decode(blob)
