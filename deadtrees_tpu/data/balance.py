@@ -10,7 +10,7 @@ fraction profile. Returns lists of tile names per shard.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence
+from typing import List
 
 
 def split_df(

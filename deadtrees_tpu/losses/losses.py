@@ -17,7 +17,7 @@ config), safe to close over inside ``jax.jit``.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

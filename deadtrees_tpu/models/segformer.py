@@ -18,7 +18,7 @@ batched matmuls on the MXU. bf16 compute / f32 params like the CNN zoo.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

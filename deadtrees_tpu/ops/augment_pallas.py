@@ -21,7 +21,7 @@ there via ``use_pallas=True``.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ from __future__ import annotations
 import io
 import json
 import logging
-import time
 from pathlib import Path
 from typing import Dict, Optional, Tuple, Union
 

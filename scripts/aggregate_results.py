@@ -20,7 +20,6 @@ from multiprocessing import Pool
 from pathlib import Path
 from typing import Optional, Tuple
 
-import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 

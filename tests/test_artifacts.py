@@ -9,8 +9,6 @@ load, and dvc.lock-style stage-output records.
 
 import json
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

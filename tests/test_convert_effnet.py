@@ -6,7 +6,6 @@ converted, and the Flax encoder must reproduce its feature pyramid — the
 prerequisite for loading the reference's imagenet/Lightning checkpoints.
 """
 
-import math
 
 import numpy as np
 import pytest

@@ -5,11 +5,9 @@ txt dead-fraction consistency), plus the end-to-end shard build.
 """
 
 import importlib.util
-import sys
 from pathlib import Path
 
 import numpy as np
-import pytest
 
 _spec = importlib.util.spec_from_file_location(
     "createdataset", Path(__file__).resolve().parents[1] / "scripts" / "createdataset.py"

@@ -27,7 +27,7 @@ from deadtrees_tpu.data import (
     iter_tar_samples,
     split_shards,
 )
-from deadtrees_tpu.data.augment import normalize, sample_augment_params
+from deadtrees_tpu.data.augment import sample_augment_params
 
 # ---------------------------------------------------------------------------
 # split_shards

@@ -3,7 +3,6 @@
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from deadtrees_tpu.ops.depthwise import depthwise_conv2d

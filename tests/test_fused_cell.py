@@ -5,7 +5,6 @@ dense-grid decoder's hot row-3 cells (wide concat inputs, PERF.md r3) at
 test scale.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -156,7 +156,6 @@ def test_gradients_flow_everywhere():
 def test_partwise_grid_matches_default(monkeypatch, rng):
     """Opt-in partwise/lowres grid must be numerically equivalent to the
     default concat path (same params, same logits)."""
-    import os
 
     import jax
     import jax.numpy as jnp

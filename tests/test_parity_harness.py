@@ -458,7 +458,6 @@ def test_harness_effunetpp_resnet_encoder_cross(tmp_path):
     sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
     variables = convert_effunetpp_checkpoint(sd, encoder_name="resnet18")
 
-    import jax
 
     from deadtrees_tpu.models import create_model
 

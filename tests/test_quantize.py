@@ -7,8 +7,6 @@ VERDICT r1 item 3 — quantized export + accuracy-delta measurement.
 import numpy as np
 import pytest
 
-import jax
-import jax.numpy as jnp
 
 from deadtrees_tpu.infer.quantize import (
     argmax_agreement,

@@ -7,7 +7,6 @@ predictions — with the reference's 512-subtile/8192-tile expectations
 (test_tiler.py:122,133).
 """
 
-from pathlib import Path
 
 import numpy as np
 import pytest

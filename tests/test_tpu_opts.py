@@ -1,6 +1,5 @@
 """core/tpu_opts: default-flag gating and env override parsing."""
 
-import os
 
 from deadtrees_tpu.core import tpu_opts
 

@@ -323,7 +323,6 @@ def test_grad_accumulation_optimizer_semantics():
     """make_optimizer(accumulate_grad_batches=2): (a) the applied update
     equals a k=1 update fed the MEAN gradient; (b) the cosine schedule's
     step count ticks once per APPLIED update, not per micro-step."""
-    import optax
 
     params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
     g1 = {"w": jnp.asarray([0.1, -0.2, 0.3, 0.05]), "b": jnp.asarray([0.4, -0.1])}

@@ -3,8 +3,6 @@ resume — the Lightning Trainer + callbacks surface
 (reference train.py:27-139, callbacks/).
 """
 
-import io
-import tarfile
 from pathlib import Path
 
 import numpy as np
