@@ -41,6 +41,7 @@ TensorProto{1:dims, 2:data_type, 4:float_data, 7:int64_data, 8:name,
 
 from __future__ import annotations
 
+import re
 import struct
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -448,18 +449,55 @@ def state_dict_from_onnx(
         else:
             ignored.append(name)
 
-    # graph-side view of each conv: weight name -> (bias initializer name)
-    conv_bias: Dict[str, Optional[str]] = {}
+    def _module_from_node_name(node_name: str) -> str:
+        """TorchScript-exporter node scope → module path.
+
+        Real fused exports rename BOTH conv initializers to generated
+        ``onnx::Conv_<n>`` names; the module path survives only in the
+        node name, e.g. ``/encoder/conv_stem/Conv`` or (ModuleList
+        nesting) ``/encoder/blocks.0/blocks.0.0/bn1/BatchNormalization``
+        where each segment may EXTEND the previous one — merge those,
+        drop the trailing op-instance segment, join with dots.
+        (Verified against torch 2.13 legacy-exporter output,
+        tests/test_onnx_torch_export_oracle.py.)
+        """
+        segs = [s for s in node_name.split("/") if s]
+        if len(segs) < 2:
+            return ""
+        acc: List[str] = []
+        for seg in segs[:-1]:  # last segment is the op instance (Conv...)
+            if acc and seg.startswith(acc[-1] + "."):
+                acc[-1] = seg
+            else:
+                acc.append(seg)
+        return ".".join(acc)
+
+    # graph-side view of each conv: (module name, weight init, bias init).
+    # Weight initializers keep state-dict names in unfused graphs; in
+    # fused graphs they are generated names and the node scope names the
+    # module instead.
+    conv_entries: List[Tuple[str, str, Optional[str]]] = []
     for node in model.nodes:
         if node.op_type == "Conv" and len(node.inputs) >= 2:
             w = _norm(node.inputs[1])
             b = _norm(node.inputs[2]) if len(node.inputs) > 2 \
                 and node.inputs[2] else None
-            conv_bias[w] = b
+            if w.endswith(".weight"):
+                conv = w[: -len(".weight")]
+            else:
+                conv = _norm(_module_from_node_name(node.name))
+                # An nn.ModuleDict is never CALLED (children are invoked
+                # per-key), so its attribute name is absent from the node
+                # scope: the dense-grid decoders' cells appear as
+                # /decoder/x_0_0/... although the state-dict path is
+                # decoder.blocks.x_0_0 (smp Unet++/EfficientUnet++ layout,
+                # verified against real torch-2.13 exporter output in
+                # tests/test_onnx_torch_export_oracle.py).
+                conv = re.sub(r"^decoder\.(x_\d+_\d+)\.",
+                              r"decoder.blocks.\1.", conv)
+            conv_entries.append((conv, w, b))
 
-    conv_names = frozenset(
-        w[: -len(".weight")] for w in conv_bias if w.endswith(".weight")
-    )
+    conv_names = frozenset(c for c, _w, _b in conv_entries if c)
     # resnet encoders run at fixed eps 1e-5 in the flax model; only the
     # efficientnet encoder's eps is configurable (encoders.py:240)
     if not any(n == "encoder.conv_stem" for n in conv_names) and any(
@@ -467,10 +505,15 @@ def state_dict_from_onnx(
     ):
         encoder_bn_eps = 1e-5
     defused: List[Tuple[str, str]] = []
-    for wname, bname in conv_bias.items():
-        if not wname.endswith(".weight"):
-            continue  # non-semantic weight name: nothing to pair against
-        conv = wname[: -len(".weight")]
+    for conv, wname, bname in conv_entries:
+        if not conv:
+            continue  # no semantic weight name AND no usable node scope
+        kernel = init.get(wname)
+        if kernel is not None and not wname.endswith(".weight") \
+                and f"{conv}.weight" not in sd:
+            # fused graph with generated initializer names: materialize
+            # the (BN-folded) kernel under the module's state-dict name
+            sd[f"{conv}.weight"] = np.asarray(kernel, np.float32)
         bn = paired_bn_name(conv, conv_names)
         if bn is None:
             # real-bias conv: make sure the bias lands under its own name
@@ -479,7 +522,6 @@ def state_dict_from_onnx(
             continue
         if f"{bn}.running_mean" in sd:
             continue  # unfused graph: the BN's own stats exist
-        kernel = init.get(wname)
         if kernel is None:
             continue
         cout = kernel.shape[0]
@@ -499,11 +541,15 @@ def state_dict_from_onnx(
             sd.pop(f"{conv}.bias", None)  # fused bias lives in beta now
         defused.append((conv, bn))
 
+    consumed = {w for _c, w, _b in conv_entries} | {
+        b for _c, _w, b in conv_entries if b
+    }
     report = {
         "fused_graph": bool(defused),
         "defused_pairs": sorted(defused),
         "n_passthrough": len(sd) - 4 * len(defused),
-        "ignored_initializers": sorted(ignored)[:20],
+        "ignored_initializers": sorted(
+            n for n in ignored if n not in consumed)[:20],
         "encoder_bn_eps_used": encoder_bn_eps,
     }
     return sd, report
@@ -669,7 +715,6 @@ def onnx_from_torch_modules(model, *, fuse_bn: bool, opset: int = 11) -> bytes:
                      pconv.padding[0], pconv.padding[1]],
             "strides": list(pconv.stride),
         }
-        ins = [prev_out, f"{pname}.weight"]
         if fold is not None:
             bn = fold
             gamma = bn.weight.detach().numpy()
@@ -681,10 +726,19 @@ def onnx_from_torch_modules(model, *, fuse_bn: bool, opset: int = 11) -> bytes:
             b0 = (pconv.bias.detach().numpy()
                   if pconv.bias is not None else 0.0)
             b = (b0 - mean) * scale + beta
+            # the real exporter renames BOTH fused initializers to
+            # generated names and keeps the module path only in the node
+            # scope (verified: tests/test_onnx_torch_export_oracle.py)
+            w_name = f"onnx::Conv_{next(fresh)}"
             bias_name = f"onnx::Conv_{next(fresh)}"
+            inits[w_name] = w.astype(np.float32)
             inits[bias_name] = np.asarray(b, np.float32)
-            ins.append(bias_name)
-        elif pconv.bias is not None:
+            ins = [prev_out, w_name, bias_name]
+            emit("Conv", ins, attrs,
+                 name="/" + pname.replace(".", "/") + "/Conv")
+            return
+        ins = [prev_out, f"{pname}.weight"]
+        if pconv.bias is not None:
             inits[f"{pname}.bias"] = (
                 pconv.bias.detach().numpy().astype(np.float32))
             ins.append(f"{pname}.bias")

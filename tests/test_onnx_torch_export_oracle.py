@@ -9,17 +9,34 @@ torch-1.x Lightning ``to_onnx`` used, scripts/create_onnx.py:31-45)
 serializes the re-stated flagship, and our reader must recover the state
 dict / logits from those real bytes.
 
-Skips when ``onnx`` is not importable (CI pip-installs it,
-.github/workflows/main.yml) or when this torch build no longer ships the
-TorchScript exporter (the reference artifact predates the dynamo
-exporter, so the legacy path is the faithful oracle).
+When the real ``onnx`` package is absent (the no-egress dev image), a
+minimal stand-in (tests/onnx_stub — it only backs torch's post-export
+proto scan with the first-party reader) lets the REAL exporter still run,
+so these tests execute everywhere; CI additionally runs them against the
+genuine ``onnx`` (.github/workflows/main.yml pip-installs it). Skips only
+when this torch build no longer ships the TorchScript exporter (the
+reference artifact predates the dynamo exporter, so the legacy path is
+the faithful oracle).
+
+This oracle caught a real emulation gap on day one: torch renames BOTH
+fused-conv initializers (``onnx::Conv_<n>``) and drops never-called
+``nn.ModuleDict`` containers from node scopes — the ingest recovers
+module paths from node names accordingly (models/onnx_io.py).
 """
+
+import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-pytest.importorskip("onnx")
+
+try:
+    import onnx  # noqa: F401 - real package (CI)
+except ImportError:  # no-egress image: use the vendored stand-in
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "onnx_stub"))
+    import onnx  # noqa: F401
 
 import jax.numpy as jnp  # noqa: E402
 
