@@ -281,6 +281,8 @@ def scan_conventions(model: OnnxModel) -> dict:
                 "group": int(node.attrs.get("group", 1)),
                 "dilations": [int(d) for d in
                               node.attrs.get("dilations", [1, 1])],
+                "kernel_shape": [int(k) for k in
+                                 node.attrs.get("kernel_shape", [1, 1])],
                 "has_bias": len(node.inputs) > 2 and bool(node.inputs[2]),
             }
     stride2 = {
@@ -291,6 +293,18 @@ def scan_conventions(model: OnnxModel) -> dict:
             if len(p) == 4 and (p[0] != p[2] or p[1] != p[3])]
     same_upper = [w for w, c in conv.items()
                   if c["auto_pad"] in ("SAME_UPPER", "SAME_LOWER")]
+    # timm's Conv2dSame (TF-SAME) exports as a dynamic Pad subgraph
+    # feeding a Conv with pads=[0,0,0,0] — a k>1 stride-2 conv with zero
+    # pads plus Pad ops in the graph IS the same-padding signature, not
+    # "static" (verified against a real torch export of the pattern,
+    # tests/test_onnx_io.py::test_scan_conventions_dynamic_pad_same).
+    has_pad_ops = any(n.op_type == "Pad" for n in model.nodes)
+    zero_pad_wide = [
+        w for w, c in conv.items()
+        if any(s > 1 for s in c["strides"])
+        and c["pads"] and all(p == 0 for p in c["pads"])
+        and any(k > 1 for k in c["kernel_shape"])
+    ]
     has_bn = any(n.op_type == "BatchNormalization" for n in model.nodes)
     return {
         "bn_eps": bn_eps,
@@ -298,8 +312,8 @@ def scan_conventions(model: OnnxModel) -> dict:
         "conv": conv,
         "stride2_pads": stride2,
         "suggest_pad_type": (
-            "same" if (asym or same_upper) else
-            ("static" if stride2 else None)
+            "same" if (asym or same_upper or (zero_pad_wide and has_pad_ops))
+            else ("static" if stride2 else None)
         ),
         "fused": not has_bn and any(c["has_bias"] for c in conv.values()),
     }

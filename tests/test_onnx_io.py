@@ -289,3 +289,38 @@ def test_harness_convert_reference_onnx_end_to_end(tmp_path):
     )
     err = np.abs(np.asarray(j_logits).transpose(0, 3, 1, 2) - t_logits).max()
     assert err < 3e-3, f"onnx → flax logits max err {err}"
+
+
+def test_scan_conventions_dynamic_pad_same():
+    """timm Conv2dSame exports as Pad-subgraph + Conv(pads=0): that is the
+    TF-SAME signature (verified against a real torch export of the
+    pattern), while a 1x1 stride-2 zero-pad conv (resnet downsample) in a
+    graph that happens to contain Pad ops must stay static."""
+    w = np.zeros((8, 4, 3, 3), np.float32)
+    dyn_same = write_onnx(
+        {"onnx::Conv_47": w},
+        [OnnxNode(op_type="Pad", inputs=["input", "p"], outputs=["t0"]),
+         OnnxNode(op_type="Conv", name="/encoder/conv_stem/Conv",
+                  inputs=["t0", "onnx::Conv_47"], outputs=["output"],
+                  attrs={"pads": [0, 0, 0, 0], "strides": [2, 2],
+                         "kernel_shape": [3, 3]})],
+    )
+    assert scan_conventions(read_onnx(dyn_same))["suggest_pad_type"] == "same"
+
+    down = np.zeros((8, 4, 1, 1), np.float32)
+    static = write_onnx(
+        {"encoder.layer2.0.downsample.0.weight": down,
+         "encoder.layer2.0.conv1.weight": w},
+        [OnnxNode(op_type="Pad", inputs=["input", "p"], outputs=["t0"]),
+         OnnxNode(op_type="Conv", name="/encoder/layer2/downsample/Conv",
+                  inputs=["t0", "encoder.layer2.0.downsample.0.weight"],
+                  outputs=["t1"],
+                  attrs={"pads": [0, 0, 0, 0], "strides": [2, 2],
+                         "kernel_shape": [1, 1]}),
+         OnnxNode(op_type="Conv", name="/encoder/layer2/conv1/Conv",
+                  inputs=["t1", "encoder.layer2.0.conv1.weight"],
+                  outputs=["output"],
+                  attrs={"pads": [1, 1, 1, 1], "strides": [2, 2],
+                         "kernel_shape": [3, 3]})],
+    )
+    assert scan_conventions(read_onnx(static))["suggest_pad_type"] == "static"
