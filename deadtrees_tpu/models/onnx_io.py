@@ -249,6 +249,18 @@ def read_onnx(src: Union[str, Path, bytes]) -> OnnxModel:
     model.nodes = [_parse_node(v) for _w, v in g.get(1, [])]
     model.inputs = [_value_info_name(v) for _w, v in g.get(11, [])]
     model.outputs = [_value_info_name(v) for _w, v in g.get(12, [])]
+    # torch's constant folding can move weights OUT of graph.initializer
+    # into Constant nodes whose output keeps the (often semantic) tensor
+    # name — observed on real exports for BatchNorm params on branches the
+    # Conv+BN peephole can't fold (resunet++ attention gates,
+    # tests/test_onnx_torch_export_oracle.py). Harvest them as
+    # initializers so weight recovery sees one uniform namespace.
+    for node in model.nodes:
+        if node.op_type == "Constant" and node.outputs:
+            val = node.attrs.get("value")
+            if isinstance(val, np.ndarray) and \
+                    node.outputs[0] not in model.initializers:
+                model.initializers[node.outputs[0]] = val
     return model
 
 
@@ -500,13 +512,21 @@ def state_dict_from_onnx(
                 conv = w[: -len(".weight")]
             else:
                 conv = _norm(_module_from_node_name(node.name))
-                # An nn.ModuleDict is never CALLED (children are invoked
-                # per-key), so its attribute name is absent from the node
-                # scope: the dense-grid decoders' cells appear as
-                # /decoder/x_0_0/... although the state-dict path is
-                # decoder.blocks.x_0_0 (smp Unet++/EfficientUnet++ layout,
-                # verified against real torch-2.13 exporter output in
-                # tests/test_onnx_torch_export_oracle.py).
+                # Never-CALLED containers are absent from node scopes
+                # (children are invoked directly): an nn.ModuleDict's
+                # attribute name drops (/decoder/x_0_0/... for state-dict
+                # decoder.blocks.x_0_0, smp Unet++/EfficientUnet++), and a
+                # bare holder module drops its whole level (/blocks.0/...
+                # for decoder.blocks.0). Re-root using the reference
+                # layouts' only valid roots — verified against real
+                # torch-2.13 exporter output
+                # (tests/test_onnx_torch_export_oracle.py).
+                if conv and not conv.startswith(
+                        ("encoder.", "decoder.", "segmentation_head.")):
+                    if re.match(r"^x_\d+_\d+\.", conv):
+                        conv = "decoder.blocks." + conv
+                    else:
+                        conv = "decoder." + conv
                 conv = re.sub(r"^decoder\.(x_\d+_\d+)\.",
                               r"decoder.blocks.\1.", conv)
             conv_entries.append((conv, w, b))
@@ -553,6 +573,31 @@ def state_dict_from_onnx(
         else:
             sd[f"{bn}.bias"] = bias
             sd.pop(f"{conv}.bias", None)  # fused bias lives in beta now
+        defused.append((conv, bn))
+
+    # Cross-Sequential fold (real-exporter behavior): in the resunet++
+    # attention gate the chain is decoder_conv.2 (Conv, real bias) →
+    # attn_conv.0 (BN) → relu; on the LAST decoder block there is no skip
+    # Add in between, so the eval peephole folds attn_conv.0 INTO
+    # decoder_conv.2 (observed: generated initializer names on that conv
+    # and no BN node, tests/test_onnx_torch_export_oracle.py). The fused
+    # kernel+bias already carry the BN's effect — synthesize the missing
+    # BN as identity so the flax attention gate computes the same thing.
+    for conv, wname, _b in conv_entries:
+        m = re.match(r"^(.+\.attention\d+)\.decoder_conv\.2$", conv or "")
+        if not m or wname.endswith(".weight"):
+            continue
+        gate = m.group(1)
+        bn = f"{gate}.attn_conv.0"
+        kernel = init.get(wname)
+        if kernel is None or f"{bn}.running_mean" in sd:
+            continue
+        cout = kernel.shape[0]
+        eps = _eps_for_site(bn, encoder_bn_eps)
+        sd[f"{bn}.weight"] = np.ones(cout, np.float32)
+        sd[f"{bn}.bias"] = np.zeros(cout, np.float32)
+        sd[f"{bn}.running_mean"] = np.zeros(cout, np.float32)
+        sd[f"{bn}.running_var"] = np.full(cout, 1.0 - eps, np.float32)
         defused.append((conv, bn))
 
     consumed = {w for _c, w, _b in conv_entries} | {

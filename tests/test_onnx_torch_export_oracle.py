@@ -131,3 +131,59 @@ def test_real_export_logits_parity(tmp_path, fold):
     )
     err = np.abs(np.asarray(j_logits).transpose(0, 3, 1, 2) - t_logits).max()
     assert err < 3e-3, f"real-export ingest logits max err {err} (fold={fold})"
+
+
+@pytest.mark.parametrize("family", ["unet", "resunet", "unet++", "resunet++"])
+def test_real_export_all_families(tmp_path, family):
+    """The ONNX route is not flagship-only: every sweep architecture's
+    re-statement round-trips REAL fused exporter bytes to exact logits.
+    This pinned three real-exporter behaviors beyond the flagship's:
+    bare never-called holder modules drop a whole scope level
+    (/blocks.0/... for decoder.blocks.0), identical BN tensors
+    constant-fold into shared Constant nodes instead of initializers, and
+    the last resunet++ attention gate's BN folds ACROSS Sequential
+    boundaries into decoder_conv.2 (no skip-Add in between)."""
+    import jax.numpy as jnp
+
+    from deadtrees_tpu.models.convert import load_torch_state_dict  # noqa: F401
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from parity_vs_reference import convert_reference_onnx
+
+    if family == "resunet++":
+        from tests.test_convert_resunetpp import _torch_resunetpp as builder
+    else:
+        import tests.test_convert_unet as tcu
+
+        builder = {"unet": tcu._torch_unet, "resunet": tcu._torch_resunet,
+                   "unet++": tcu._torch_unetpp}[family]
+
+    torch.manual_seed(5)
+    tmodel = builder().eval()
+    _randomize_bn(tmodel)
+    p = tmp_path / f"{family}.onnx"
+    _export(tmodel, p, fold=True)
+
+    variables, hp, audit, rep = convert_reference_onnx(p)
+    assert hp["architecture"] == family
+    assert hp["encoder_name"] == "resnet18"
+    assert rep["fused_graph"]
+    assert audit["unrecognized_keys"] == []
+
+    from deadtrees_tpu.models import create_model
+
+    model = create_model(
+        hp["architecture"], hp["encoder_name"], in_channels=4, classes=3,
+        decoder_channels=hp["decoder_channels"], dtype=jnp.float32,
+    )
+    x = np.random.default_rng(6).normal(size=(1, 64, 64, 4)).astype(
+        np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_logits = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    err = np.abs(np.asarray(j_logits).transpose(0, 3, 1, 2) - t_logits).max()
+    assert err < 1e-4, f"{family}: real-export ingest logits max err {err}"
