@@ -150,12 +150,28 @@ def create_model(
     decoder_attention_type: Optional[str] = None,
     encoder_bn_eps: Optional[float] = None,
     encoder_pad_type: Optional[str] = None,
+    encoder_options: Optional[dict] = None,
     dtype: Dtype = jnp.bfloat16,
     param_dtype: Dtype = jnp.float32,
     **_ignored,
 ):
     """Architecture-string dispatch (reference segmodel.py:61-75, plus the
-    SegFormer stretch)."""
+    SegFormer stretch).
+
+    ``encoder_options`` is the dict form of the convention knobs (same
+    spelling :func:`deadtrees_tpu.models.get_encoder` takes:
+    ``{"bn_eps": ..., "pad_type": ...}``); explicit ``encoder_bn_eps`` /
+    ``encoder_pad_type`` win over it. It must be first-class here — the
+    trailing ``**_ignored`` (needed so whole hparams dicts round-trip)
+    would otherwise swallow it silently, which masked a real pad-type
+    mismatch until the torch-export oracle caught it
+    (tests/test_onnx_torch_export_oracle.py, TF-SAME flagship).
+    """
+    if encoder_options:
+        if encoder_bn_eps is None:
+            encoder_bn_eps = encoder_options.get("bn_eps")
+        if encoder_pad_type is None:
+            encoder_pad_type = encoder_options.get("pad_type")
     arch = canonical_architecture(architecture)
     if arch == "segformer":
         from deadtrees_tpu.models.segformer import SegFormer

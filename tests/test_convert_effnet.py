@@ -24,12 +24,37 @@ from deadtrees_tpu.models.encoders import (  # noqa: E402
 )
 
 
-def _torch_effnet(in_ch=4, width_mult=1.0, depth_mult=1.0):
+def _torch_effnet(in_ch=4, width_mult=1.0, depth_mult=1.0,
+                  pad_type="static"):
     """Plain-torch EfficientNet feature extractor at any width/depth —
     the state-dict key scheme smp's timm-efficientnet encoders load.
     b5 geometry (width 1.6 / depth 2.2) exercises the ≥10-numbered-siblings
-    key-ordering regime (39 MBConv blocks)."""
+    key-ordering regime (39 MBConv blocks). ``pad_type="same"`` swaps the
+    stride-2 convs for timm's Conv2dSame (dynamic TF-SAME padding) — the
+    other branch of docs/encoder_audit.md row 15."""
     import torch.nn as nn
+    import torch.nn.functional as F
+
+    class Conv2dSame(nn.Conv2d):
+        """timm Conv2dSame: dynamic asymmetric pad, then VALID conv."""
+
+        def forward(self, x):
+            ih, iw = x.shape[-2:]
+            kh, kw = self.weight.shape[-2:]
+            sh, sw = self.stride
+            ph = max((-(-ih // sh) - 1) * sh
+                     + (kh - 1) * self.dilation[0] + 1 - ih, 0)
+            pw = max((-(-iw // sw) - 1) * sw
+                     + (kw - 1) * self.dilation[1] + 1 - iw, 0)
+            x = F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2])
+            return F.conv2d(x, self.weight, self.bias, self.stride, 0,
+                            self.dilation, self.groups)
+
+    def s2_conv(cin, cout, k, s, groups=1):
+        """Stride-s conv in the selected padding convention."""
+        if s > 1 and pad_type == "same":
+            return Conv2dSame(cin, cout, k, s, 0, groups=groups, bias=False)
+        return nn.Conv2d(cin, cout, k, s, k // 2, groups=groups, bias=False)
 
     class SE(nn.Module):
         def __init__(self, mid, se_ch):
@@ -45,7 +70,7 @@ def _torch_effnet(in_ch=4, width_mult=1.0, depth_mult=1.0):
     class DsBlock(nn.Module):  # stage-1 depthwise-separable (t=1)
         def __init__(self, cin, cout, k, s):
             super().__init__()
-            self.conv_dw = nn.Conv2d(cin, cin, k, s, k // 2, groups=cin, bias=False)
+            self.conv_dw = s2_conv(cin, cin, k, s, groups=cin)
             self.bn1 = nn.BatchNorm2d(cin, eps=1e-3)
             self.se = SE(cin, max(1, int(cin * 0.25)))
             self.conv_pw = nn.Conv2d(cin, cout, 1, bias=False)
@@ -64,7 +89,7 @@ def _torch_effnet(in_ch=4, width_mult=1.0, depth_mult=1.0):
             mid = cin * t
             self.conv_pw = nn.Conv2d(cin, mid, 1, bias=False)
             self.bn1 = nn.BatchNorm2d(mid, eps=1e-3)
-            self.conv_dw = nn.Conv2d(mid, mid, k, s, k // 2, groups=mid, bias=False)
+            self.conv_dw = s2_conv(mid, mid, k, s, groups=mid)
             self.bn2 = nn.BatchNorm2d(mid, eps=1e-3)
             self.se = SE(mid, max(1, int(cin * 0.25)))
             self.conv_pwl = nn.Conv2d(mid, cout, 1, bias=False)
@@ -82,7 +107,7 @@ def _torch_effnet(in_ch=4, width_mult=1.0, depth_mult=1.0):
         def __init__(self):
             super().__init__()
             stem = _round_channels(32, width_mult)
-            self.conv_stem = nn.Conv2d(in_ch, stem, 3, 2, 1, bias=False)
+            self.conv_stem = s2_conv(in_ch, stem, 3, 2)
             self.bn1 = nn.BatchNorm2d(stem, eps=1e-3)
             blocks = []
             cin = stem

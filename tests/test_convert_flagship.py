@@ -163,6 +163,7 @@ def _torch_flagship(
     width_mult=1.0, depth_mult=1.0,
     enc_out=(4, 32, 24, 40, 112, 320),  # b0 out_channels
     dec_ch=DEC_CH,
+    pad_type="static",
 ):
     import torch.nn as nn
 
@@ -170,7 +171,8 @@ def _torch_flagship(
         def __init__(self):
             super().__init__()
             self.encoder = _torch_effnet(
-                in_ch=in_ch, width_mult=width_mult, depth_mult=depth_mult
+                in_ch=in_ch, width_mult=width_mult, depth_mult=depth_mult,
+                pad_type=pad_type,
             )
             channels = (in_ch,) + tuple(enc_out[1:])
             self.decoder = _torch_effunetpp_decoder(channels, dec_ch)

@@ -187,3 +187,45 @@ def test_real_export_all_families(tmp_path, family):
     )
     err = np.abs(np.asarray(j_logits).transpose(0, 3, 1, 2) - t_logits).max()
     assert err < 1e-4, f"{family}: real-export ingest logits max err {err}"
+
+
+def test_real_export_tf_same_flagship(tmp_path):
+    """The OTHER branch of the row-15 ambiguity, end to end: a flagship
+    built with timm's Conv2dSame (dynamic TF-SAME padding) exports as Pad
+    subgraphs + Conv(pads=0); the scan must resolve pad_type='same' from
+    those real bytes, and the converted flax model (encoder_pad_type
+    'same') must reproduce the torch logits — the first torch-parity
+    check of the flax same-padding convention."""
+    from deadtrees_tpu.models.convert import convert_effunetpp_checkpoint
+
+    torch.manual_seed(4)
+    tmodel = _torch_flagship(pad_type="same").eval()
+    _randomize_bn(tmodel)
+    p = tmp_path / "flagship_same.onnx"
+    _export(tmodel, p, fold=True)
+
+    model_onnx = read_onnx(p)
+    conv = scan_conventions(model_onnx)
+    assert conv["suggest_pad_type"] == "same", conv["stride2_pads"]
+
+    sd, report = state_dict_from_onnx(model_onnx, encoder_bn_eps=1e-3)
+    assert report["fused_graph"]
+    variables = convert_effunetpp_checkpoint(sd, width_mult=1.0,
+                                             depth_mult=1.0)
+    model = create_model(
+        "efficientunet++", "timm-efficientnet-b0",
+        in_channels=4, classes=3, decoder_channels=DEC_CH,
+        dtype=jnp.float32,
+        encoder_options={"bn_eps": 1e-3, "pad_type": "same"},
+    )
+    x = np.random.default_rng(8).normal(size=(1, 64, 64, 4)).astype(
+        np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_logits = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    err = np.abs(np.asarray(j_logits).transpose(0, 3, 1, 2) - t_logits).max()
+    assert err < 3e-3, f"TF-SAME flagship ingest logits max err {err}"
